@@ -1,0 +1,105 @@
+"""Configuration dataclasses.
+
+The reference passes all knobs as function arguments with inline magic
+constants (R/insider.R:18, src/optimize.cpp:257,389-403).  Here every magic
+number becomes a named, documented default.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+
+@dataclasses.dataclass(frozen=True)
+class FitConfig:
+    """Optimization hyperparameters for one `optimize` run.
+
+    Mirrors the argument list of the reference driver
+    (src/optimize.cpp:256-257) plus the constants it hardcodes.
+    """
+
+    latent_dim: int = 10
+    # Ridge penalty on all row-side factors (lambda1, src/utils.cpp:85).
+    lambda1: float = 1.0
+    # Elastic-net penalty on the gene/column factor (lambda2, src/utils.cpp:88-91).
+    lambda2: float = 1.0
+    # Elastic-net mixing: alpha*L1 + (1-alpha)*L2 (src/utils.cpp:88-91).
+    alpha: float = 0.1
+    # tuning==1: masked (train-only) updates; tuning==0: dense whole-matrix
+    # fast path (src/optimize.cpp:150,178 and R `partition`, R/insider.R:209).
+    masked: bool = True
+    # Relative-loss stopping criterion, checked every `check_every` iterations
+    # (src/optimize.cpp:381,405).
+    global_tol: float = 1e-10
+    # Base tolerance of the per-column elastic-net subproblem
+    # (src/optimize.cpp:376; default 1e-5 at R/insider.R:18).
+    sub_tol: float = 1e-5
+    max_iter: int = 10000
+    # Convergence/metrics cadence (src/optimize.cpp:327,381: `iter % 10`).
+    check_every: int = 10
+    # Safety cap on CD sweeps inside one column update (the reference loops
+    # unboundedly, coordinate_descent.cpp:82-114; we bound for jit safety).
+    max_cd_sweeps: int = 200
+    # Safety cap on KKT reactivation rounds (coordinate_descent.cpp:118-124).
+    max_kkt_rounds: int = 8
+    # Continuous-covariate CD stop: sum|delta w| < ctns_tol
+    # (src/optimize.cpp:122) with a sweep cap for jit safety.
+    ctns_tol: float = 1e-1
+    max_ctns_sweeps: int = 100
+    # Init distribution N(0, init_std^2) (R/utils.R:40-43).
+    init_std: float = 1e-3
+    seed: int = 0
+    # Compute dtype for factors/data on device. Loss deltas are tracked with
+    # compensated (double-single) summation so f32 suffices for the reference's
+    # 1e-9-relative stopping rule; see ops/precise.py.
+    dtype: str = "float32"
+
+    @property
+    def sub_tol_decay_ladder(self) -> Tuple[float, ...]:
+        """The reference's decay schedule (src/optimize.cpp:389-403).
+
+        decay = 10^-d for the largest d in 1..6 with delta_loss/1000 <= 10^-d,
+        else 1.0.
+        """
+        return (1.0, 1e-1, 1e-2, 1e-3, 1e-4, 1e-5, 1e-6)
+
+
+def decay_from_delta_loss(delta_loss: float) -> float:
+    """Map a 10-iter loss decrease to the sub_tol decay factor.
+
+    Exact transliteration of the if-ladder at src/optimize.cpp:389-403.
+    """
+    d = delta_loss / 1000.0
+    if d <= 1e-6:
+        return 1e-6
+    if d <= 1e-5:
+        return 1e-5
+    if d <= 1e-4:
+        return 1e-4
+    if d <= 1e-3:
+        return 1e-3
+    if d <= 1e-2:
+        return 1e-2
+    if d <= 1e-1:
+        return 1e-1
+    return 1.0
+
+
+@dataclasses.dataclass(frozen=True)
+class ShardingConfig:
+    """Device mesh layout.
+
+    Axes: 'rows' shards the sample axis (data-parallel analog; per-level Grams
+    psum over it), 'cols' shards the gene axis (model-parallel analog; the CD
+    inner loop is zero-communication within a gene shard).  See SURVEY.md §2d.
+    """
+
+    rows: int = 1
+    cols: int = 1
+    # Optional explicit device list; defaults to jax.devices().
+    devices: Optional[tuple] = None
+
+    @property
+    def n_devices(self) -> int:
+        return self.rows * self.cols

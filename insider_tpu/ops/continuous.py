@@ -1,0 +1,85 @@
+"""Continuous-covariate coefficient updates.
+
+TPU-native equivalent of `optimize_continuous_v2` (src/optimize.cpp:77-137;
+the driver calls only v2, src/optimize.cpp:345).  One covariate column c (N,)
+with coefficient row w (K,) is a K-dimensional ridge problem; the reference
+runs scalar cyclic CD with residual maintenance over the full (N, M) matrix.
+
+Here the problem is projected into K-space once:
+
+    XtX_kl = sum_ij c_i^2 w^mask_ij F_kj F_lj  =  (F * q) F^T,
+             q_j = (c^2)^T mask_j                       [(K,K), one matmul]
+    b_k    = c^T (mask .* resid_plus) F_k               [(K,), one matmul]
+
+and the CD loop (sequential coordinates 0..K-1, as the reference,
+src/optimize.cpp:104) runs entirely on K scalars inside a while_loop with the
+reference's stop rule sum|delta w| < 1e-1 (src/optimize.cpp:122).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+HIGHEST = lax.Precision.HIGHEST
+
+
+def update_ctns_row_masked(
+    resid_plus: jax.Array,   # (N, M) residual with this covariate added back
+    mask: jax.Array,         # (N, M)
+    F: jax.Array,            # (K, M)
+    c: jax.Array,            # (N,) covariate column
+    w0: jax.Array,           # (K,) warm start
+    lam: float,
+    tol: float = 1e-1,
+    max_sweeps: int = 100,
+) -> jax.Array:
+    """Masked (tuning==1) path of optimize_continuous_v2."""
+    K = F.shape[0]
+    q = jnp.matmul(c * c, mask, precision=HIGHEST)            # (M,)
+    XtX = jnp.matmul(F * q[None, :], F.T, precision=HIGHEST)  # (K, K)
+    b = jnp.matmul(F, jnp.matmul(c, mask * resid_plus, precision=HIGHEST),
+                   precision=HIGHEST)                          # (K,)
+    diag = jnp.diagonal(XtX)
+
+    def coord_body(k, carry):
+        w, s = carry
+        u = b[k] - s[k] + w[k] * diag[k]
+        w_new = u / (diag[k] + lam)
+        delta = w_new - w[k]
+        s = s + XtX[:, k] * delta
+        w = w.at[k].set(w_new)
+        return w, s
+
+    def cond(carry):
+        w, s, delta_sum, sweeps = carry
+        return (delta_sum >= tol) & (sweeps < max_sweeps)
+
+    def body(carry):
+        w, s, _, sweeps = carry
+        w_new, s_new = lax.fori_loop(0, K, coord_body, (w, s))
+        return w_new, s_new, jnp.sum(jnp.abs(w_new - w)), sweeps + 1
+
+    s0 = jnp.matmul(XtX, w0, precision=HIGHEST)
+    # Seed delta_sum with +inf so at least one sweep runs (reference while(1)).
+    w, _, _, _ = lax.while_loop(
+        cond, body, (w0, s0, jnp.asarray(jnp.inf, w0.dtype), jnp.int32(0))
+    )
+    return w
+
+
+def update_ctns_row_dense(
+    resid_plus: jax.Array,
+    F: jax.Array,
+    gram: jax.Array,         # (K, K) = F F^T
+    c: jax.Array,
+    lam: float,
+) -> jax.Array:
+    """Dense (tuning==0) closed form, src/optimize.cpp:127-131."""
+    K = F.shape[0]
+    Xty = jnp.matmul(F, jnp.matmul(resid_plus.T, c, precision=HIGHEST),
+                     precision=HIGHEST)
+    A = jnp.dot(c, c, precision=HIGHEST) * gram + lam * jnp.eye(K, dtype=F.dtype)
+    from insider_tpu.ops.linalg import spd_solve
+    return spd_solve(A, Xty)

@@ -1,0 +1,413 @@
+"""The alternating-minimization driver.
+
+TPU-native equivalent of `optimize()` (src/optimize.cpp:256-422): the ALS
+outer loop over (per-confounder ridge row updates, continuous-covariate
+updates, elastic-net column update), with the reference's convergence
+protocol — relative-loss stop checked every `check_every` iterations and the
+sub_tol decay ladder (src/optimize.cpp:381-408).
+
+Structure: one jitted `run_steps` executes a dynamic-length fori_loop of full
+ALS iterations on device; the host loop evaluates the compensated loss
+between chunks, applies the decay ladder, logs the same quantities the
+reference prints (src/utils.cpp:70-76,95-100), and decides termination.
+Device-host traffic per chunk is a handful of scalars.  All problem arrays
+are jit *arguments* (never closure constants), and all static structure is
+hashable, so compilations are shared across runs of the same shape — e.g.
+every trial of a tuning sweep reuses one executable.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import logging
+import time
+from functools import partial
+from typing import Callable, List, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from insider_tpu.config import FitConfig, ShardingConfig, decay_from_delta_loss
+from insider_tpu.model.state import InsiderState, init_state
+from insider_tpu.ops import col_update, continuous, losses, row_update
+from insider_tpu.sharding.mesh import apply_constraints, make_mesh, shard_problem_arrays
+
+logger = logging.getLogger("insider_tpu")
+
+HIGHEST = lax.Precision.HIGHEST
+
+
+class ProblemArrays(NamedTuple):
+    """Dynamic (device array) part of a problem — a jit-friendly pytree."""
+
+    data: jax.Array                 # (N, M) observation matrix (NaNs zeroed)
+    train_mask: jax.Array           # (N, M) f32 0/1
+    test_mask: jax.Array            # (N, M) f32 0/1
+    codes: Tuple[jax.Array, ...]    # per-confounder (N,) int32, 0-based dense
+    ctns: Optional[jax.Array]       # (N, P) continuous covariates or None
+
+
+@dataclasses.dataclass(frozen=True)
+class ProblemStatics:
+    """Hashable static structure — a jit static argument."""
+
+    n_levels: Tuple[int, ...]
+    masked: bool
+    mesh: Optional[object] = None   # jax Mesh (hashable) for sharded runs
+
+
+class Hypers(NamedTuple):
+    """Traced hyperparameter scalars — tuning sweeps over (lambda, alpha)
+    reuse one compiled executable."""
+
+    lam1: jax.Array
+    lam2: jax.Array
+    alpha: jax.Array
+
+
+@dataclasses.dataclass(frozen=True)
+class StepStatics:
+    """Static solver structure (affects the traced program)."""
+
+    alpha_is_zero: bool      # dispatches ridge vs CD (src/optimize.cpp:224,237)
+    max_cd_sweeps: int
+    max_ctns_sweeps: int
+    ctns_tol: float
+
+    @classmethod
+    def from_config(cls, config: FitConfig):
+        return cls(
+            alpha_is_zero=(config.alpha == 0.0),
+            max_cd_sweeps=config.max_cd_sweeps,
+            max_ctns_sweeps=config.max_ctns_sweeps,
+            ctns_tol=config.ctns_tol,
+        )
+
+
+@dataclasses.dataclass
+class Problem:
+    """Host-side bundle for one optimize() run."""
+
+    arrays: ProblemArrays
+    statics: ProblemStatics
+
+    @property
+    def shape(self):
+        return self.arrays.data.shape
+
+    @property
+    def n_levels(self):
+        return self.statics.n_levels
+
+    @property
+    def masked(self):
+        return self.statics.masked
+
+    @property
+    def ctns(self):
+        return self.arrays.ctns
+
+    @property
+    def codes(self):
+        return self.arrays.codes
+
+    @property
+    def data(self):
+        return self.arrays.data
+
+    @property
+    def train_mask(self):
+        return self.arrays.train_mask
+
+    @property
+    def test_mask(self):
+        return self.arrays.test_mask
+
+
+def build_problem(
+    data: np.ndarray,
+    confounder: np.ndarray,
+    train_indicator: np.ndarray,
+    test_indicator: np.ndarray,
+    ctns_confounder: Optional[np.ndarray] = None,
+    masked: bool = True,
+    dtype=jnp.float32,
+    sharding: Optional[ShardingConfig] = None,
+) -> Problem:
+    """Stage host arrays onto devices.
+
+    confounder: (N, C) integer level codes per discrete confounder (any
+    integer labels; densified per column like the reference's `unique()`
+    indexing, src/optimize.cpp:296-313).
+    """
+    confounder = np.asarray(confounder)
+    codes_np, n_levels = [], []
+    for c in range(confounder.shape[1]):
+        levels, inv = np.unique(confounder[:, c], return_inverse=True)
+        codes_np.append(inv.astype(np.int32))
+        n_levels.append(int(levels.size))
+
+    mesh = make_mesh(sharding) if sharding is not None else None
+    data_d, train_d, test_d, codes_d, ctns_d = shard_problem_arrays(
+        mesh,
+        np.asarray(data, np.float32),
+        np.asarray(train_indicator, np.float32),
+        np.asarray(test_indicator, np.float32),
+        codes_np,
+        None if ctns_confounder is None else np.asarray(ctns_confounder, np.float32),
+        dtype,
+    )
+    return Problem(
+        arrays=ProblemArrays(
+            data=data_d,
+            train_mask=train_d,
+            test_mask=test_d,
+            codes=tuple(codes_d),
+            ctns=ctns_d,
+        ),
+        statics=ProblemStatics(
+            n_levels=tuple(n_levels), masked=masked, mesh=mesh
+        ),
+    )
+
+
+def _row_factor(arrays: ProblemArrays, state: InsiderState) -> jax.Array:
+    """R = sum_v V_v[codes_v] + C W  (src/optimize.cpp:365-373)."""
+    R = state.cfd_factors[0][arrays.codes[0]]
+    for v in range(1, len(arrays.codes)):
+        R = R + state.cfd_factors[v][arrays.codes[v]]
+    if arrays.ctns is not None:
+        R = R + jnp.matmul(arrays.ctns, state.ctns_factor, precision=HIGHEST)
+    return R
+
+
+def _als_iteration(arrays: ProblemArrays, statics: ProblemStatics,
+                   step_statics: StepStatics, hypers: Hypers,
+                   state: InsiderState,
+                   sub_tol_eff: jax.Array) -> InsiderState:
+    """One full ALS iteration (src/optimize.cpp:325-379)."""
+    F = state.column_factor
+    mask = arrays.train_mask
+    masked = statics.masked
+
+    gram = jnp.matmul(F, F.T, precision=HIGHEST)
+    R = _row_factor(arrays, state)
+    residual = arrays.data - losses.predict(R, F)
+
+    # --- row-side: block Gauss-Seidel over confounders (:335-362) ---
+    cfd_new: List[jax.Array] = list(state.cfd_factors)
+    n_cfd = len(arrays.codes)
+    for v in range(n_cfd):
+        contrib_old = jnp.matmul(cfd_new[v][arrays.codes[v]], F, precision=HIGHEST)
+        residual = residual + contrib_old
+        if masked:
+            V = row_update.update_row_factor_masked(
+                residual, mask, F, arrays.codes[v], statics.n_levels[v],
+                hypers.lam1,
+            )
+        else:
+            V = row_update.update_row_factor_dense(
+                residual, F, gram, arrays.codes[v], statics.n_levels[v],
+                hypers.lam1,
+            )
+        cfd_new[v] = V
+        last_block = (v == n_cfd - 1) and arrays.ctns is None
+        if not last_block:
+            residual = residual - jnp.matmul(V[arrays.codes[v]], F, precision=HIGHEST)
+
+    # --- continuous covariates (:341-350) ---
+    W = state.ctns_factor
+    if arrays.ctns is not None:
+        P = arrays.ctns.shape[1]
+        for j in range(P):
+            c = arrays.ctns[:, j]
+            contrib = jnp.outer(c, jnp.matmul(W[j], F, precision=HIGHEST))
+            residual = residual + contrib
+            if masked:
+                w = continuous.update_ctns_row_masked(
+                    residual, mask, F, c, W[j], hypers.lam1,
+                    tol=step_statics.ctns_tol,
+                    max_sweeps=step_statics.max_ctns_sweeps,
+                )
+            else:
+                w = continuous.update_ctns_row_dense(residual, F, gram, c,
+                                                     hypers.lam1)
+            W = W.at[j].set(w)
+            if j != P - 1:
+                residual = residual - jnp.outer(
+                    c, jnp.matmul(w, F, precision=HIGHEST)
+                )
+
+    # --- rebuild row factor, update columns (:365-376) ---
+    state = InsiderState(cfd_new, W, F, state.key)
+    R = _row_factor(arrays, state)
+    if masked:
+        F_new, key, _ = col_update.update_columns_masked(
+            arrays.data, mask, R, F, hypers.lam2, hypers.alpha,
+            sub_tol_eff, state.key, step_statics.max_cd_sweeps,
+            alpha_is_zero=step_statics.alpha_is_zero,
+        )
+    else:
+        F_new, key, _ = col_update.update_columns_dense(
+            arrays.data, R, F, hypers.lam2, hypers.alpha,
+            sub_tol_eff, state.key, step_statics.max_cd_sweeps,
+            alpha_is_zero=step_statics.alpha_is_zero,
+        )
+    new_state = InsiderState(cfd_new, W, F_new, key)
+    return apply_constraints(statics.mesh, new_state)
+
+
+@partial(jax.jit, static_argnums=(1, 2), donate_argnums=(4,))
+def _run_steps(arrays: ProblemArrays, statics: ProblemStatics,
+               step_statics: StepStatics, hypers: Hypers, state: InsiderState,
+               sub_tol_eff: jax.Array, n_steps: jax.Array) -> InsiderState:
+    """n_steps full ALS iterations on device (n_steps is dynamic: one
+    executable serves every chunk size)."""
+
+    def body(_, st):
+        return _als_iteration(arrays, statics, step_statics, hypers, st,
+                              sub_tol_eff)
+
+    return lax.fori_loop(0, n_steps, body, state)
+
+
+@partial(jax.jit, static_argnums=(1,))
+def _evaluate(arrays: ProblemArrays, statics: ProblemStatics,
+              state: InsiderState):
+    R = _row_factor(arrays, state)
+    residual = arrays.data - losses.predict(R, state.column_factor)
+    if statics.masked:
+        ev = losses.evaluate_masked(residual, arrays.train_mask,
+                                    arrays.test_mask)
+    else:
+        ev = losses.evaluate_dense(residual)
+    reg = losses.regularization_sums(state.cfd_factors, state.ctns_factor,
+                                     state.column_factor)
+    return ev, reg
+
+
+@dataclasses.dataclass
+class OptimizeResult:
+    row_matrices: List[np.ndarray]
+    ctns_factor: Optional[np.ndarray]
+    column_factor: np.ndarray
+    train_rmse: float
+    test_rmse: float
+    loss: float
+    n_iter: int
+    history: List[dict]
+    state: InsiderState
+
+
+def optimize(
+    problem: Problem,
+    config: FitConfig,
+    state: Optional[InsiderState] = None,
+    log_jsonl: Optional[str] = None,
+    verbose: bool = True,
+    progress_callback: Optional[Callable[[dict], None]] = None,
+) -> OptimizeResult:
+    """Run ALS to convergence.  Mirrors src/optimize.cpp:256-422.
+
+    The convergence protocol replicates the reference exactly: initial loss
+    before the loop (:320-323); checks when `iter % check_every == 0` at the
+    end of that iteration (:381); stop when (pre-loss)/pre < global_tol
+    (:405); sub_tol decay ladder from the 10-iter loss delta (:389-403).
+    """
+    N, M = problem.shape
+    if state is None:
+        state = init_state(
+            jax.random.PRNGKey(config.seed),
+            problem.n_levels,
+            M,
+            config.latent_dim,
+            n_ctns=0 if problem.ctns is None else problem.ctns.shape[1],
+            init_std=config.init_std,
+        )
+
+    arrays, statics = problem.arrays, problem.statics
+
+    def do_eval(st):
+        ev, reg = _evaluate(arrays, statics, st)
+        return losses.finalize_loss(
+            ev, reg, config.lambda1, config.lambda2, config.alpha,
+            statics.masked,
+        )
+
+    history: List[dict] = []
+    jl = open(log_jsonl, "a") if log_jsonl else None
+
+    def emit(rec):
+        history.append(rec)
+        if jl:
+            jl.write(json.dumps(rec) + "\n")
+            jl.flush()
+        if verbose:
+            logger.info(
+                "iter %d: loss=%.12g train_rmse=%.12g test_rmse=%.12g "
+                "delta=%.6g decay=%g",
+                rec["iter"], rec["loss"], rec["train_rmse"], rec["test_rmse"],
+                rec.get("delta_loss", float("nan")), rec.get("decay", 1.0),
+            )
+        if progress_callback:
+            progress_callback(rec)
+
+    t0 = time.time()
+    m = do_eval(state)
+    loss = m["loss"]
+    emit({"iter": -1, **m, "elapsed_s": time.time() - t0})
+
+    step_statics = StepStatics.from_config(config)
+    hypers = Hypers(
+        lam1=jnp.float32(config.lambda1),
+        lam2=jnp.float32(config.lambda2),
+        alpha=jnp.float32(config.alpha),
+    )
+
+    decay = 1.0
+    it = 0
+    converged = False
+    while it <= config.max_iter:
+        # Advance to the end of the next check boundary (iterations it .. b).
+        boundary = it if it % config.check_every == 0 else (
+            (it // config.check_every + 1) * config.check_every
+        )
+        boundary = min(boundary, config.max_iter)
+        n = boundary - it + 1
+        sub_tol_eff = jnp.asarray(config.sub_tol * decay, jnp.float32)
+        state = _run_steps(arrays, statics, step_statics, hypers, state,
+                           sub_tol_eff, jnp.int32(n))
+        it = boundary + 1
+
+        pre_loss = loss
+        m = do_eval(state)
+        loss = m["loss"]
+        delta_loss = pre_loss - loss
+        decay = decay_from_delta_loss(delta_loss)
+        emit({
+            "iter": boundary, **m, "delta_loss": delta_loss, "decay": decay,
+            "elapsed_s": time.time() - t0,
+        })
+        if (pre_loss - loss) / pre_loss < config.global_tol:
+            converged = True
+            break
+        if boundary >= config.max_iter:
+            break
+
+    if jl:
+        jl.close()
+
+    return OptimizeResult(
+        row_matrices=[np.asarray(f) for f in state.cfd_factors],
+        ctns_factor=None if state.ctns_factor is None else np.asarray(state.ctns_factor),
+        column_factor=np.asarray(state.column_factor),
+        train_rmse=m["train_rmse"],
+        test_rmse=m["test_rmse"],
+        loss=loss,
+        n_iter=it - 1,
+        history=history,
+        state=state,
+    )
