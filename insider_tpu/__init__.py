@@ -28,7 +28,7 @@ R/glm_interaction.R:2):
 from insider_tpu.api import Insider, FitResult
 from insider_tpu.config import FitConfig, ShardingConfig
 from insider_tpu.data.splitter import ratio_splitter, SplitResult
-from insider_tpu.data.simulate import simulate_insider_data
+from insider_tpu.data.simulate import simulate_insider_data, simulate_scale
 from insider_tpu.model.state import InsiderState, init_state
 from insider_tpu.train.als import optimize
 from insider_tpu.tune.grid import tune
@@ -45,6 +45,7 @@ __all__ = [
     "ratio_splitter",
     "SplitResult",
     "simulate_insider_data",
+    "simulate_scale",
     "InsiderState",
     "init_state",
     "optimize",
