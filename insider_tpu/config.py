@@ -54,6 +54,9 @@ class FitConfig:
     # compensated (double-single) summation so f32 suffices for the reference's
     # 1e-9-relative stopping rule; see ops/precise.py.
     dtype: str = "float32"
+    # Use the Pallas CD kernel for the column update. None = auto (TPU yes,
+    # CPU no — the jnp path is the CPU/interpret reference).
+    use_pallas: Optional[bool] = None
 
     @property
     def sub_tol_decay_ladder(self) -> Tuple[float, ...]:

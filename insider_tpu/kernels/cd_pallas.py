@@ -1,0 +1,191 @@
+"""Pallas TPU kernel for the elastic-net coordinate-descent column update.
+
+This is THE hot kernel (SURVEY.md §2, C3/C4).  The jnp path runs each CD
+sweep as ~K small XLA ops over (K, M) arrays, re-reading the (M, K, K) Gram
+tensor from HBM every sweep; at steady state that is hundreds of
+dispatch-latency-bound ops per ALS iteration.  Here the *entire* CD solve —
+strong-rule screening, all cyclic sweeps, per-column convergence freezing,
+KKT reactivation — runs inside one kernel invocation per block of BM
+columns, with the block's Grams, betas and residual-products resident in
+VMEM.  HBM traffic is one read of (K*K+3K, BM) per block and one write of
+(K, BM): the speed-of-light minimum.  Blocks early-exit independently when
+all their columns converge.
+
+Coordinate order, the TPU way: Mosaic lowers dynamic sublane indexing very
+slowly, so instead of indexing coordinates at runtime the wrapper PERMUTES
+the problem (rows of Xty/beta and both leading dims of XtX) with one random
+order per call and the kernel sweeps coordinates in fixed order 0..K-1 —
+fully static slices.  Net semantics: the reference draws a fresh randperm
+per sweep per column (coordinate_descent.cpp:89); we draw one randperm per
+column update shared across sweeps/columns.  Same stationary points (the
+subproblem is convex), same expected behavior, hardware-shaped execution.
+The jnp path (ops/col_update.elastic_net_cd) reproduces the kernel exactly
+when given the same single permutation for every sweep.
+
+Layout: column-major blocks — xtx as (K, K, BM), vectors as (K, BM) — so the
+gene axis is the 128-wide lane dimension and all per-coordinate slices hit
+static sublane offsets.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+DEFAULT_BLOCK = 512
+
+
+def _cd_kernel(fscal_ref, xtx_ref, xty_ref, beta0_ref, out_ref,
+               diag_s, s_s, active_s, conv_s,
+               *, K: int, max_sweeps: int, use_strong_rule: bool):
+    lam = fscal_ref[0]
+    alpha = fscal_ref[1]
+    tol = fscal_ref[2]
+    l1 = lam * alpha
+    l2 = lam * (1.0 - alpha)
+
+    xty = xty_ref[:]           # (K, BM)
+    BM = xty.shape[-1]
+
+    # diag[k] = xtx[k, k, :] (static unroll)
+    diag_s[:] = jnp.concatenate(
+        [xtx_ref[k, k, :][None] for k in range(K)], axis=0
+    )
+
+    if use_strong_rule:
+        # coordinate_descent.cpp:74-79
+        mx = jnp.max(jnp.abs(xty), axis=0, keepdims=True)        # (1, BM)
+        thr = alpha * (2.0 * lam - mx)
+        active = (jnp.abs(xty) >= thr).astype(jnp.float32)        # (K, BM)
+        beta = beta0_ref[:] * active
+    else:
+        active = jnp.ones((K, BM), jnp.float32)
+        beta = beta0_ref[:]
+    active_s[:] = active
+    out_ref[:] = beta
+    # s = XtX @ beta per column (contraction over j on the VPU)
+    s_s[:] = jnp.sum(xtx_ref[:] * beta[None, :, :], axis=1)       # (K, BM)
+    conv_s[:] = jnp.zeros((1, BM), jnp.float32)
+
+    def sweep_body(carry):
+        sweep, _ = carry
+        conv = conv_s[:]
+        dec = jnp.zeros((1, BM), jnp.float32)
+
+        # Fixed cyclic order 0..K-1 (order randomized by the wrapper's
+        # pre-permutation) — every slice below is static.
+        for k in range(K):
+            d = diag_s[k:k + 1, :]                                # (1, BM)
+            b_k = out_ref[k:k + 1, :]
+            u = xty_ref[k:k + 1, :] - s_s[k:k + 1, :] + b_k * d
+            denom = d + l2
+            denom = jnp.where(denom > 0.0, denom, 1.0)            # guard d=0
+            w = jnp.sign(u) * jnp.maximum(jnp.abs(u) - l1, 0.0) / denom
+            upd = active_s[k:k + 1, :] * (1.0 - conv)
+            w = jnp.where(upd > 0.5, w, b_k)
+            delta = w - b_k
+            # exact per-coordinate objective decrease (col_update docstring)
+            dec = dec - (0.5 * (d + l2) * (w * w - b_k * b_k)
+                         - u * delta + l1 * (jnp.abs(w) - jnp.abs(b_k)))
+            # XtX row k == column k (symmetric): rank-1 s maintenance
+            s_s[:] = s_s[:] + xtx_ref[k] * delta
+            out_ref[k:k + 1, :] = w
+
+        cand = (1.0 - conv) * (jnp.abs(dec) <= tol).astype(jnp.float32)
+        if use_strong_rule:
+            # KKT reactivation (coordinate_descent.cpp:118-124)
+            grad = s_s[:] - xty_ref[:]
+            viol = ((1.0 - active_s[:])
+                    * (jnp.abs(grad) > l1).astype(jnp.float32))
+            has_viol = jnp.max(viol, axis=0, keepdims=True)       # (1, BM)
+            active_s[:] = jnp.maximum(active_s[:], viol * cand)
+            conv_s[:] = jnp.maximum(conv, cand * (1.0 - has_viol))
+        else:
+            conv_s[:] = jnp.maximum(conv, cand)
+        done = jnp.min(conv_s[:]) >= 0.5
+        return sweep + 1, done
+
+    def cond(carry):
+        sweep, done = carry
+        return jnp.logical_not(done) & (sweep < max_sweeps)
+
+    lax.while_loop(cond, sweep_body, (jnp.int32(0), jnp.bool_(False)))
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("max_sweeps", "use_strong_rule", "block", "interpret"),
+)
+def elastic_net_cd_pallas(
+    xtx: jax.Array,      # (K, K, M) per-column Grams
+    xty: jax.Array,      # (K, M)
+    beta0: jax.Array,    # (K, M) warm start
+    lam,
+    alpha,
+    tol,
+    max_sweeps: int = 200,
+    use_strong_rule: bool = True,
+    block: int = DEFAULT_BLOCK,
+    interpret: bool = False,
+):
+    """All-columns CD via the Pallas kernel.  Returns beta (K, M).
+
+    Sweeps coordinates in order 0..K-1; the caller randomizes order by
+    permuting the K axis of the inputs (cheapest: permute R's columns before
+    forming the Grams) and un-permuting the returned beta.
+    """
+    K, M = xty.shape
+
+    BM = min(block, max(128, 1 << (M - 1).bit_length()))
+    Mp = ((M + BM - 1) // BM) * BM
+    if Mp != M:
+        # Padded columns: xtx/xty/beta0 zero => u=0 => beta stays 0 and the
+        # column converges KKT-clean after the first sweep.
+        pad = Mp - M
+        xtx = jnp.pad(xtx, ((0, 0), (0, 0), (0, pad)))
+        xty = jnp.pad(xty, ((0, 0), (0, pad)))
+        beta0 = jnp.pad(beta0, ((0, 0), (0, pad)))
+
+    fscal = jnp.stack([
+        jnp.asarray(lam, jnp.float32),
+        jnp.asarray(alpha, jnp.float32),
+        jnp.asarray(tol, jnp.float32),
+    ])
+
+    kernel = functools.partial(
+        _cd_kernel, K=K, max_sweeps=max_sweeps,
+        use_strong_rule=use_strong_rule,
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(Mp // BM,),
+        in_specs=[
+            pl.BlockSpec((K, K, BM), lambda i, *_: (0, 0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((K, BM), lambda i, *_: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((K, BM), lambda i, *_: (0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((K, BM), lambda i, *_: (0, i),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((K, BM), jnp.float32),   # diag
+            pltpu.VMEM((K, BM), jnp.float32),   # s
+            pltpu.VMEM((K, BM), jnp.float32),   # active
+            pltpu.VMEM((1, BM), jnp.float32),   # converged
+        ],
+    )
+    beta = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((K, Mp), jnp.float32),
+        interpret=interpret,
+    )(fscal, xtx, xty, beta0)
+    return beta[:, :M]

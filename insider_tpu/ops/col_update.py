@@ -52,16 +52,35 @@ def col_gram_masked(R: jax.Array, mask: jax.Array) -> jax.Array:
     return XtX.reshape(-1, K, K)
 
 
+def col_gram_masked_t(R: jax.Array, mask: jax.Array) -> jax.Array:
+    """Same Grams in (K, K, M) layout (gene axis last = TPU lane dim),
+    produced directly as one (K^2,N)@(N,M) matmul — the layout the Pallas CD
+    kernel consumes, with no transpose of the 100MB tensor."""
+    N, K = R.shape
+    PR = (R[:, :, None] * R[:, None, :]).reshape(N, K * K)
+    XtX = jnp.matmul(PR.T, mask, precision=HIGHEST)     # (K^2, M)
+    return XtX.reshape(K, K, -1)
+
+
+def make_sweep_perms(key: jax.Array, K: int, max_sweeps: int) -> jax.Array:
+    """Pre-generate per-sweep coordinate orders, shared across columns (the
+    distributional analog of the per-column randperm at
+    coordinate_descent.cpp:89; a single permutation per sweep keeps the
+    update vectorized and deterministic under the key).  Shared by the jnp
+    and Pallas paths so they compute the identical iteration."""
+    keys = jax.random.split(key, max_sweeps)
+    return jax.vmap(lambda k: jax.random.permutation(k, K))(keys).astype(jnp.int32)
+
+
 class CDState(NamedTuple):
     beta: jax.Array        # (K, M) coefficients
     s: jax.Array           # (K, M) XtX @ beta, maintained incrementally
     active: jax.Array      # (K, M) bool strong-rule / KKT active set
     converged: jax.Array   # (M,) bool per-column freeze flags
-    key: jax.Array
     sweeps: jax.Array      # scalar int32, total sweeps executed
 
 
-def _sweep(XtX, diag, Xty, lam, alpha, state: CDState):
+def _sweep(XtX, diag, Xty, lam, alpha, perm, state: CDState):
     """One full cyclic CD sweep over all K coordinates, all M columns.
 
     XtX: (M, K, K) per-column Grams, or (1, K, K) broadcast (dense path).
@@ -71,19 +90,13 @@ def _sweep(XtX, diag, Xty, lam, alpha, state: CDState):
     l1 = lam * alpha
     l2 = lam * (1.0 - alpha)
 
-    key, sub = jax.random.split(state.key)
-    # Per-sweep random coordinate order, shared across columns (the
-    # distributional analog of the per-column randperm at
-    # coordinate_descent.cpp:89; a single permutation keeps the sweep
-    # vectorized and deterministic under the key).
-    perm = jax.random.permutation(sub, K)
-
     def coord_body(i, carry):
         beta, s, decrease = carry
         k = perm[i]
         d_k = diag[k]                                   # (M,)
         u = Xty[k] - s[k] + beta[k] * d_k               # (M,)
-        w = jnp.sign(u) * jnp.maximum(jnp.abs(u) - l1, 0.0) / (d_k + l2)
+        denom = jnp.where(d_k + l2 > 0.0, d_k + l2, 1.0)
+        w = jnp.sign(u) * jnp.maximum(jnp.abs(u) - l1, 0.0) / denom
         # Frozen columns and screened-out coordinates don't move
         # (coordinate_descent.cpp:74-75; per-column do-while exit).
         upd = state.active[k] & (~state.converged)
@@ -105,7 +118,7 @@ def _sweep(XtX, diag, Xty, lam, alpha, state: CDState):
     beta, s, decrease = lax.fori_loop(
         0, K, coord_body, (state.beta, state.s, jnp.zeros(M, state.beta.dtype))
     )
-    return beta, s, key, decrease
+    return beta, s, decrease
 
 
 def _kkt_violations(s, Xty, active, lam, alpha):
@@ -135,6 +148,8 @@ def elastic_net_cd(
     Returns (beta, key, sweeps_used).
     """
     K, M = beta0.shape
+    key, sub = jax.random.split(key)
+    perms = make_sweep_perms(sub, K, max_sweeps)
     diag = jnp.diagonal(XtX, axis1=1, axis2=2).T        # (K, M or 1) -> broadcast
     if diag.shape[1] == 1 and M != 1:
         diag = jnp.broadcast_to(diag, (K, M))
@@ -155,7 +170,6 @@ def elastic_net_cd(
         s=s,
         active=active,
         converged=jnp.zeros(M, bool),
-        key=key,
         sweeps=jnp.int32(0),
     )
 
@@ -163,7 +177,8 @@ def elastic_net_cd(
         return (~jnp.all(st.converged)) & (st.sweeps < max_sweeps)
 
     def body(st: CDState):
-        beta, s, key, decrease = _sweep(XtX, diag, Xty, lam, alpha, st)
+        beta, s, decrease = _sweep(XtX, diag, Xty, lam, alpha,
+                                   perms[st.sweeps], st)
         # do-while semantics: a column may stop only after this sweep ran on it.
         candidate = (~st.converged) & (jnp.abs(decrease) <= tol)
         if use_strong_rule:
@@ -178,10 +193,10 @@ def elastic_net_cd(
         else:
             active = st.active
             converged = st.converged | candidate
-        return CDState(beta, s, active, converged, key, st.sweeps + 1)
+        return CDState(beta, s, active, converged, st.sweeps + 1)
 
     out = lax.while_loop(cond, body, state)
-    return out.beta, out.key, out.sweeps
+    return out.beta, key, out.sweeps
 
 
 def update_columns_masked(
@@ -197,16 +212,33 @@ def update_columns_masked(
     key: jax.Array,
     max_sweeps: int = 200,
     alpha_is_zero: bool = None,
+    use_pallas: bool = False,
 ):
     """Masked (tuning==1) column update, src/optimize.cpp:203-230."""
     if alpha_is_zero is None:
         alpha_is_zero = alpha == 0.0
-    XtX = col_gram_masked(R, mask)                      # (M, K, K)
     Xty = jnp.matmul(R.T, mask * data, precision=HIGHEST)  # (K, M)
     if alpha_is_zero:
         from insider_tpu.ops.row_update import _ridge_solve_batched
+        XtX = col_gram_masked(R, mask)                  # (M, K, K)
         F = _ridge_solve_batched(XtX, Xty.T, lam).T
         return F, key, jnp.int32(0)
+    if use_pallas:
+        from insider_tpu.kernels.cd_pallas import elastic_net_cd_pallas
+        # Randomize coordinate order by permuting R's columns (one order per
+        # update, shared across sweeps — see cd_pallas docstring), then
+        # un-permute the solution.
+        key, sub = jax.random.split(key)
+        K = R.shape[1]
+        perm = jax.random.permutation(sub, K)
+        inv = jnp.argsort(perm)
+        Rp = R[:, perm]
+        XtXt = col_gram_masked_t(Rp, mask)              # (K, K, M)
+        Xty_p = jnp.matmul(Rp.T, mask * data, precision=HIGHEST)
+        F = elastic_net_cd_pallas(XtXt, Xty_p, F_prev[perm], lam, alpha, tol,
+                                  max_sweeps)
+        return F[inv], key, jnp.int32(-1)
+    XtX = col_gram_masked(R, mask)
     return elastic_net_cd(XtX, Xty, F_prev, lam, alpha, tol, key, max_sweeps)
 
 
@@ -220,6 +252,7 @@ def update_columns_dense(
     key: jax.Array,
     max_sweeps: int = 200,
     alpha_is_zero: bool = None,
+    use_pallas: bool = False,
 ):
     """Dense (tuning==0) column update, src/optimize.cpp:232-247."""
     if alpha_is_zero is None:
@@ -232,4 +265,15 @@ def update_columns_dense(
         A = XtX + lam * jnp.eye(K, dtype=R.dtype)
         F = gauss_jordan_solve(A, Xty)
         return F, key, jnp.int32(0)
+    if use_pallas:
+        from insider_tpu.kernels.cd_pallas import elastic_net_cd_pallas
+        key, sub = jax.random.split(key)
+        perm = jax.random.permutation(sub, K)
+        inv = jnp.argsort(perm)
+        M = data.shape[1]
+        XtXp = XtX[perm][:, perm]
+        XtXt = jnp.broadcast_to(XtXp[:, :, None], (K, K, M))
+        F = elastic_net_cd_pallas(XtXt, Xty[perm], F_prev[perm], lam, alpha,
+                                  tol, max_sweeps)
+        return F[inv], key, jnp.int32(-1)
     return elastic_net_cd(XtX[None], Xty, F_prev, lam, alpha, tol, key, max_sweeps)

@@ -76,14 +76,22 @@ class StepStatics:
     max_cd_sweeps: int
     max_ctns_sweeps: int
     ctns_tol: float
+    use_pallas: bool = False
 
     @classmethod
     def from_config(cls, config: FitConfig):
+        use_pallas = config.use_pallas
+        if use_pallas is None:
+            import jax
+
+            # 'tpu' or this image's 'axon' TPU tunnel; CPU uses the jnp path.
+            use_pallas = jax.default_backend() != "cpu"
         return cls(
             alpha_is_zero=(config.alpha == 0.0),
             max_cd_sweeps=config.max_cd_sweeps,
             max_ctns_sweeps=config.max_ctns_sweeps,
             ctns_tol=config.ctns_tol,
+            use_pallas=use_pallas,
         )
 
 
@@ -249,12 +257,14 @@ def _als_iteration(arrays: ProblemArrays, statics: ProblemStatics,
             arrays.data, mask, R, F, hypers.lam2, hypers.alpha,
             sub_tol_eff, state.key, step_statics.max_cd_sweeps,
             alpha_is_zero=step_statics.alpha_is_zero,
+            use_pallas=step_statics.use_pallas,
         )
     else:
         F_new, key, _ = col_update.update_columns_dense(
             arrays.data, R, F, hypers.lam2, hypers.alpha,
             sub_tol_eff, state.key, step_statics.max_cd_sweeps,
             alpha_is_zero=step_statics.alpha_is_zero,
+            use_pallas=step_statics.use_pallas,
         )
     new_state = InsiderState(cfd_new, W, F_new, key)
     return apply_constraints(statics.mesh, new_state)
@@ -309,6 +319,8 @@ def optimize(
     log_jsonl: Optional[str] = None,
     verbose: bool = True,
     progress_callback: Optional[Callable[[dict], None]] = None,
+    checkpoint_path: Optional[str] = None,
+    resume: bool = False,
 ) -> OptimizeResult:
     """Run ALS to convergence.  Mirrors src/optimize.cpp:256-422.
 
@@ -316,8 +328,24 @@ def optimize(
     before the loop (:320-323); checks when `iter % check_every == 0` at the
     end of that iteration (:381); stop when (pre-loss)/pre < global_tol
     (:405); sub_tol decay ladder from the 10-iter loss delta (:389-403).
+
+    checkpoint_path: snapshot factors+key at every check boundary; with
+    resume=True an existing snapshot restarts the run deterministically from
+    (iter, key, factors) (SURVEY.md §5).
     """
     N, M = problem.shape
+    start_iter = 0
+    if resume and checkpoint_path and state is None:
+        import os as _os
+
+        if _os.path.exists(checkpoint_path):
+            from insider_tpu.checkpoint import load_checkpoint
+
+            state, meta = load_checkpoint(checkpoint_path)
+            start_iter = meta["iter"] + 1
+            if verbose:
+                logger.info("resumed from %s at iter %d", checkpoint_path,
+                            meta["iter"])
     if state is None:
         state = init_state(
             jax.random.PRNGKey(config.seed),
@@ -368,7 +396,7 @@ def optimize(
     )
 
     decay = 1.0
-    it = 0
+    it = start_iter
     converged = False
     while it <= config.max_iter:
         # Advance to the end of the next check boundary (iterations it .. b).
@@ -391,6 +419,10 @@ def optimize(
             "iter": boundary, **m, "delta_loss": delta_loss, "decay": decay,
             "elapsed_s": time.time() - t0,
         })
+        if checkpoint_path:
+            from insider_tpu.checkpoint import save_checkpoint
+
+            save_checkpoint(checkpoint_path, state, it=boundary, loss=loss)
         if (pre_loss - loss) / pre_loss < config.global_tol:
             converged = True
             break

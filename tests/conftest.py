@@ -1,19 +1,26 @@
-"""Test configuration: force CPU backend with 8 virtual devices.
+"""Test configuration: force a true-CPU backend with 8 virtual devices.
 
-Must run before jax initializes a backend — the standard JAX trick for
-testing N-device sharding without TPU hardware (SURVEY.md §4).
+The standard JAX trick for testing N-device sharding without TPU hardware
+(SURVEY.md §4) — with a twist: this image's sitecustomize registers the axon
+TPU plugin at interpreter startup, and pytest plugins import jax before any
+conftest runs, so jax.config has already read JAX_PLATFORMS from the
+original environment.  Updating the *config* (not the env) still works as
+long as no backend has been initialized, which holds at conftest-import
+time.  XLA_FLAGS is read lazily at CPU-client creation, so the env tweak
+below is still effective.
 
-Note: this environment's sitecustomize registers the axon TPU plugin
-whenever PALLAS_AXON_POOL_IPS is set, which overrides JAX_PLATFORMS; blank
-it so tests run on true CPU.
+Opt out (run tests against the real TPU) with INSIDER_TEST_BACKEND=tpu.
 """
 
 import os
 
-os.environ["PALLAS_AXON_POOL_IPS"] = ""
-os.environ["JAX_PLATFORMS"] = "cpu"
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+if os.environ.get("INSIDER_TEST_BACKEND", "").lower() != "tpu":
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            flags + " --xla_force_host_platform_device_count=8"
+        ).strip()
+
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
