@@ -53,8 +53,10 @@ def _load_table(path: str, confounder_cols: int, log2: bool, skip_cols: int):
         with open(path) as fh:
             first = fh.readline()
         has_header = any(c.isalpha() for c in first.split(delim)[0])
-        raw = np.genfromtxt(path, delimiter=delim,
-                            skip_header=1 if has_header else 0)
+        from insider_tpu.data.native import load_csv
+
+        raw = np.asarray(load_csv(path, delim, skip_header=has_header),
+                         np.float64)
         raw = raw[:, skip_cols:]
         conf = raw[:, :confounder_cols]
         data = np.asarray(raw[:, confounder_cols:], np.float64)

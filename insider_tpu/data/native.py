@@ -1,0 +1,135 @@
+"""ctypes bindings for the native host-side data pipeline (native/insider_io.cpp).
+
+Builds lazily with `make` on first use; every function has a pure-numpy
+fallback so the package works without a toolchain.  The native splitter uses
+a splitmix64 counter RNG (deterministic per (seed, index), parallel), which
+is a different — but equally valid — stream than the numpy splitter;
+both honor the ratio_splitter contract (R/utils.R:78-117).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from typing import Optional, Tuple
+
+import numpy as np
+
+_NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.dirname(os.path.abspath(__file__)))), "native")
+_SO = os.path.join(_NATIVE_DIR, "libinsider_io.so")
+
+_lib = None
+_tried = False
+
+
+def _load() -> Optional[ctypes.CDLL]:
+    global _lib, _tried
+    if _lib is not None or _tried:
+        return _lib
+    _tried = True
+    if not os.path.exists(_SO):
+        try:
+            subprocess.run(["make", "-C", _NATIVE_DIR], check=True,
+                           capture_output=True, timeout=120)
+        except Exception:
+            return None
+    try:
+        lib = ctypes.CDLL(_SO)
+    except OSError:
+        return None
+    lib.insider_csv_shape.restype = ctypes.c_int
+    lib.insider_csv_shape.argtypes = [
+        ctypes.c_char_p, ctypes.c_char, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
+    ]
+    lib.insider_csv_parse.restype = ctypes.c_int64
+    lib.insider_csv_parse.argtypes = [
+        ctypes.c_char_p, ctypes.c_char, ctypes.c_int,
+        ctypes.c_int64, ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_float),
+    ]
+    lib.insider_log2p1.restype = None
+    lib.insider_log2p1.argtypes = [ctypes.POINTER(ctypes.c_float),
+                                   ctypes.c_int64]
+    lib.insider_split_mask.restype = ctypes.c_int64
+    lib.insider_split_mask.argtypes = [
+        ctypes.POINTER(ctypes.c_float), ctypes.c_int64, ctypes.c_double,
+        ctypes.c_uint64,
+        ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_uint8),
+        ctypes.POINTER(ctypes.c_uint8),
+    ]
+    _lib = lib
+    return _lib
+
+
+def native_available() -> bool:
+    return _load() is not None
+
+
+def load_csv(path: str, delim: str = ",", skip_header: bool = False
+             ) -> np.ndarray:
+    """Parse a numeric CSV/TSV into float32 (NaN for NA/empty)."""
+    lib = _load()
+    if lib is None:
+        return np.genfromtxt(path, delimiter=delim,
+                             skip_header=1 if skip_header else 0,
+                             dtype=np.float32)
+    rows = ctypes.c_int64()
+    cols = ctypes.c_int64()
+    rc = lib.insider_csv_shape(path.encode(), delim.encode(),
+                               int(skip_header), ctypes.byref(rows),
+                               ctypes.byref(cols))
+    if rc != 0:
+        raise IOError(f"insider_csv_shape({path}) failed: {rc}")
+    out = np.empty((rows.value, cols.value), np.float32)
+    done = lib.insider_csv_parse(
+        path.encode(), delim.encode(), int(skip_header),
+        rows.value, cols.value,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+    )
+    if done != rows.value:
+        raise IOError(f"insider_csv_parse parsed {done}/{rows.value} rows")
+    return out
+
+
+def log2p1(data: np.ndarray) -> np.ndarray:
+    """In-place log2(x+1) (README.md:47) on a float32 array."""
+    data = np.ascontiguousarray(data, np.float32)
+    lib = _load()
+    if lib is None:
+        np.log2(np.maximum(data, 0.0) + 1.0, out=data)
+        return data
+    lib.insider_log2p1(data.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+                       data.size)
+    return data
+
+
+def split_mask(data: np.ndarray, ratio: float, seed: int
+               ) -> Tuple[np.ndarray, np.ndarray, np.ndarray, int]:
+    """(train, test, na) uint8 masks + n_test, ratio_splitter semantics."""
+    data32 = np.ascontiguousarray(data, np.float32)
+    lib = _load()
+    train = np.empty(data.shape, np.uint8)
+    test = np.empty(data.shape, np.uint8)
+    na = np.empty(data.shape, np.uint8)
+    if lib is None:
+        nan = np.isnan(data32)
+        na[:] = nan
+        rng = np.random.default_rng(seed)
+        obs = np.flatnonzero(~nan.ravel())
+        k = int(obs.size * ratio)
+        pick = rng.choice(obs, size=k, replace=False)
+        test[:] = 0
+        test.ravel()[pick] = 1
+        train[:] = (~nan) & (test == 0)
+        return train, test, na, k
+    picked = lib.insider_split_mask(
+        data32.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        data32.size, float(ratio), int(seed),
+        train.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        test.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        na.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+    )
+    return train, test, na, int(picked)

@@ -38,7 +38,7 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-DEFAULT_BLOCK = 512
+DEFAULT_BLOCK = 1024
 
 
 def _cd_kernel(fscal_ref, xtx_ref, xty_ref, beta0_ref, out_ref,

@@ -203,28 +203,30 @@ def _als_iteration(arrays: ProblemArrays, statics: ProblemStatics,
 
     gram = jnp.matmul(F, F.T, precision=HIGHEST)
     R = _row_factor(arrays, state)
-    residual = arrays.data - losses.predict(R, F)
 
     # --- row-side: block Gauss-Seidel over confounders (:335-362) ---
+    # The reference maintains an (N, M) residual and adds/subtracts each
+    # confounder's contribution (two N*K*M matmuls per confounder).  We keep
+    # the cheap (N, K) row factor up to date instead and materialize each
+    # confounder's add-back residual directly: data - (R - V_v[codes]) @ F —
+    # one N*K*M matmul per confounder, mathematically identical.
     cfd_new: List[jax.Array] = list(state.cfd_factors)
     n_cfd = len(arrays.codes)
     for v in range(n_cfd):
-        contrib_old = jnp.matmul(cfd_new[v][arrays.codes[v]], F, precision=HIGHEST)
-        residual = residual + contrib_old
+        R_minus = R - cfd_new[v][arrays.codes[v]]
+        resid_plus = arrays.data - losses.predict(R_minus, F)
         if masked:
             V = row_update.update_row_factor_masked(
-                residual, mask, F, arrays.codes[v], statics.n_levels[v],
+                resid_plus, mask, F, arrays.codes[v], statics.n_levels[v],
                 hypers.lam1,
             )
         else:
             V = row_update.update_row_factor_dense(
-                residual, F, gram, arrays.codes[v], statics.n_levels[v],
+                resid_plus, F, gram, arrays.codes[v], statics.n_levels[v],
                 hypers.lam1,
             )
         cfd_new[v] = V
-        last_block = (v == n_cfd - 1) and arrays.ctns is None
-        if not last_block:
-            residual = residual - jnp.matmul(V[arrays.codes[v]], F, precision=HIGHEST)
+        R = R_minus + V[arrays.codes[v]]
 
     # --- continuous covariates (:341-350) ---
     W = state.ctns_factor
@@ -232,24 +234,22 @@ def _als_iteration(arrays: ProblemArrays, statics: ProblemStatics,
         P = arrays.ctns.shape[1]
         for j in range(P):
             c = arrays.ctns[:, j]
-            contrib = jnp.outer(c, jnp.matmul(W[j], F, precision=HIGHEST))
-            residual = residual + contrib
+            R_minus = R - jnp.outer(c, W[j])
+            resid_plus = arrays.data - losses.predict(R_minus, F)
             if masked:
                 w = continuous.update_ctns_row_masked(
-                    residual, mask, F, c, W[j], hypers.lam1,
+                    resid_plus, mask, F, c, W[j], hypers.lam1,
                     tol=step_statics.ctns_tol,
                     max_sweeps=step_statics.max_ctns_sweeps,
                 )
             else:
-                w = continuous.update_ctns_row_dense(residual, F, gram, c,
+                w = continuous.update_ctns_row_dense(resid_plus, F, gram, c,
                                                      hypers.lam1)
             W = W.at[j].set(w)
-            if j != P - 1:
-                residual = residual - jnp.outer(
-                    c, jnp.matmul(w, F, precision=HIGHEST)
-                )
+            R = R_minus + jnp.outer(c, w)
 
-    # --- rebuild row factor, update columns (:365-376) ---
+    # --- rebuild row factor exactly (:365-373; cheap, avoids accumulation
+    # drift in the incrementally-maintained R), update columns (:376) ---
     state = InsiderState(cfd_new, W, F, state.key)
     R = _row_factor(arrays, state)
     if masked:

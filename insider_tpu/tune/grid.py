@@ -68,8 +68,13 @@ def _append_csv(path, header, row):
         w.writerow(row)
 
 
-def tune(obj, latent_dimension, lambda_=0.1, alpha=0.0, out_dir="."):
-    """Returns dict(rank_tuning, latent_rank, reg_tuning) like R/insider.R:175."""
+def tune(obj, latent_dimension, lambda_=0.1, alpha=0.0, out_dir=".",
+         batch_grid=True, batch_size=16):
+    """Returns dict(rank_tuning, latent_rank, reg_tuning) like R/insider.R:175.
+
+    batch_grid: run the stage-2 (lambda, alpha) grid device-batched (vmapped
+    trials, tune/batched.py) in chunks of `batch_size` instead of serially.
+    """
     ranks = [int(r) for r in _as_list(latent_dimension)]
     lambdas = [float(x) for x in _as_list(lambda_)]
     alphas = [float(a) for a in _as_list(alpha)]
@@ -111,14 +116,40 @@ def tune(obj, latent_dimension, lambda_=0.1, alpha=0.0, out_dir="."):
         )
         # expand.grid: first factor (lambda) varies fastest (R/insider.R:145).
         grid = [(round(l, 2), round(a, 2)) for a in alphas for l in lambdas]
-        for t, (lam, al) in enumerate(grid):
-            res = _run_trial(problem, obj, latent_rank, lam, al,
-                             trial_seed=obj.seed + 1000 + t,
-                             tuning_iter=tuning_iter)
-            row = [lam, al, res.train_rmse, res.test_rmse]
-            reg_tuning.append(row)
-            _append_csv(reg_csv, ["lambda", "alpha", "train_rmse", "test_rmse"],
-                        row)
+        if batch_grid:
+            from insider_tpu.tune.batched import run_batched_trials
+
+            # alpha==0 points use the ridge dispatch — batch separately.
+            zero = [(i, g) for i, g in enumerate(grid) if g[1] == 0.0]
+            nonzero = [(i, g) for i, g in enumerate(grid) if g[1] != 0.0]
+            results = [None] * len(grid)
+            for group in (zero, nonzero):
+                for s in range(0, len(group), batch_size):
+                    chunk = group[s:s + batch_size]
+                    out = run_batched_trials(
+                        problem, latent_rank, [g for _, g in chunk],
+                        tuning_iter, obj.params["global_tol"],
+                        obj.params["sub_tol"],
+                        seeds=[obj.seed + 1000 + i for i, _ in chunk],
+                    )
+                    for (i, _), r in zip(chunk, out):
+                        results[i] = r
+            for (lam, al), r in zip(grid, results):
+                row = [lam, al, r["train_rmse"], r["test_rmse"]]
+                reg_tuning.append(row)
+                _append_csv(reg_csv,
+                            ["lambda", "alpha", "train_rmse", "test_rmse"],
+                            row)
+        else:
+            for t, (lam, al) in enumerate(grid):
+                res = _run_trial(problem, obj, latent_rank, lam, al,
+                                 trial_seed=obj.seed + 1000 + t,
+                                 tuning_iter=tuning_iter)
+                row = [lam, al, res.train_rmse, res.test_rmse]
+                reg_tuning.append(row)
+                _append_csv(reg_csv,
+                            ["lambda", "alpha", "train_rmse", "test_rmse"],
+                            row)
 
     return {
         "rank_tuning": np.asarray(rank_tuning) if rank_tuning else None,
