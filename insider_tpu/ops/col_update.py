@@ -213,11 +213,15 @@ def update_columns_masked(
     max_sweeps: int = 200,
     alpha_is_zero: bool = None,
     use_pallas: bool = False,
+    masked_data: jax.Array = None,   # precomputed mask*data, optional
+    mesh=None,                       # shard the CD kernel over mesh axis 'cols'
 ):
     """Masked (tuning==1) column update, src/optimize.cpp:203-230."""
     if alpha_is_zero is None:
         alpha_is_zero = alpha == 0.0
-    Xty = jnp.matmul(R.T, mask * data, precision=HIGHEST)  # (K, M)
+    if masked_data is None:
+        masked_data = mask * data
+    Xty = jnp.matmul(R.T, masked_data, precision=HIGHEST)  # (K, M)
     if alpha_is_zero:
         from insider_tpu.ops.row_update import _ridge_solve_batched
         XtX = col_gram_masked(R, mask)                  # (M, K, K)
@@ -234,9 +238,32 @@ def update_columns_masked(
         inv = jnp.argsort(perm)
         Rp = R[:, perm]
         XtXt = col_gram_masked_t(Rp, mask)              # (K, K, M)
-        Xty_p = jnp.matmul(Rp.T, mask * data, precision=HIGHEST)
-        F = elastic_net_cd_pallas(XtXt, Xty_p, F_prev[perm], lam, alpha, tol,
-                                  max_sweeps)
+        Xty_p = jnp.matmul(Rp.T, masked_data, precision=HIGHEST)
+        beta0 = F_prev[perm]
+        if mesh is not None:
+            # Per-device CD on the local gene shard: Pallas kernels are not
+            # GSPMD-partitionable, so shard_map makes the zero-communication
+            # column parallelism explicit (SURVEY.md §2d).
+            from jax.sharding import PartitionSpec as P
+
+            try:
+                from jax import shard_map
+            except ImportError:
+                from jax.experimental.shard_map import shard_map
+
+            cd_local = shard_map(
+                lambda xt, xy, b0: elastic_net_cd_pallas(
+                    xt, xy, b0, lam, alpha, tol, max_sweeps),
+                mesh=mesh,
+                in_specs=(P(None, None, "cols"), P(None, "cols"),
+                          P(None, "cols")),
+                out_specs=P(None, "cols"),
+                check_vma=False,
+            )
+            F = cd_local(XtXt, Xty_p, beta0)
+        else:
+            F = elastic_net_cd_pallas(XtXt, Xty_p, beta0, lam, alpha, tol,
+                                      max_sweeps)
         return F[inv], key, jnp.int32(-1)
     XtX = col_gram_masked(R, mask)
     return elastic_net_cd(XtX, Xty, F_prev, lam, alpha, tol, key, max_sweeps)

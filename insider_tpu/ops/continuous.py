@@ -36,11 +36,37 @@ def update_ctns_row_masked(
     max_sweeps: int = 100,
 ) -> jax.Array:
     """Masked (tuning==1) path of optimize_continuous_v2."""
-    K = F.shape[0]
     q = jnp.matmul(c * c, mask, precision=HIGHEST)            # (M,)
     XtX = jnp.matmul(F * q[None, :], F.T, precision=HIGHEST)  # (K, K)
     b = jnp.matmul(F, jnp.matmul(c, mask * resid_plus, precision=HIGHEST),
                    precision=HIGHEST)                          # (K,)
+    return _ctns_cd(XtX, b, w0, lam, tol, max_sweeps)
+
+
+def update_ctns_row_masked_fast(
+    q: jax.Array,          # (M,) = (c^2)^T mask          (per-problem constant)
+    bc: jax.Array,         # (M,) = c^T (mask .* data)    (per-problem constant)
+    mask: jax.Array,       # (N, M)
+    R_minus: jax.Array,    # (N, K) row factor excluding this covariate
+    F: jax.Array,
+    c: jax.Array,
+    w0: jax.Array,
+    lam,
+    tol: float = 1e-1,
+    max_sweeps: int = 100,
+) -> jax.Array:
+    """Masked path with precomputed constants: the add-back residual is
+    data - R_minus F, so c^T(W .* resid) = bc - c^T(W .* (R_minus F))."""
+    XtX = jnp.matmul(F * q[None, :], F.T, precision=HIGHEST)
+    P = jnp.matmul(R_minus, F, precision=HIGHEST)
+    b = jnp.matmul(F, bc - jnp.matmul(c, mask * P, precision=HIGHEST),
+                   precision=HIGHEST)
+    return _ctns_cd(XtX, b, w0, lam, tol, max_sweeps)
+
+
+def _ctns_cd(XtX, b, w0, lam, tol, max_sweeps):
+    """Sequential-coordinate ridge CD in K-space (src/optimize.cpp:102-126)."""
+    K = XtX.shape[0]
     diag = jnp.diagonal(XtX)
 
     def coord_body(k, carry):
@@ -81,5 +107,25 @@ def update_ctns_row_dense(
     Xty = jnp.matmul(F, jnp.matmul(resid_plus.T, c, precision=HIGHEST),
                      precision=HIGHEST)
     A = jnp.dot(c, c, precision=HIGHEST) * gram + lam * jnp.eye(K, dtype=F.dtype)
+    from insider_tpu.ops.linalg import spd_solve
+    return spd_solve(A, Xty)
+
+
+def update_ctns_row_dense_fast(
+    dc: jax.Array,           # (M,) = c^T data   (per-problem constant)
+    cc: jax.Array,           # scalar c^T c
+    R_minus: jax.Array,      # (N, K)
+    F: jax.Array,
+    gram: jax.Array,
+    c: jax.Array,
+    lam,
+) -> jax.Array:
+    """Dense closed form with precomputed constants:
+    resid_plus^T c = data^T c - (R_minus F)^T c."""
+    K = F.shape[0]
+    pc = jnp.matmul(jnp.matmul(c, R_minus, precision=HIGHEST), F,
+                    precision=HIGHEST)                       # (M,)
+    Xty = jnp.matmul(F, dc - pc, precision=HIGHEST)
+    A = cc * gram + lam * jnp.eye(K, dtype=F.dtype)
     from insider_tpu.ops.linalg import spd_solve
     return spd_solve(A, Xty)

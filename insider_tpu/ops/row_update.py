@@ -77,6 +77,56 @@ def update_row_factor_masked(
     return _ridge_solve_batched(XtX, Xty, lam)
 
 
+def one_hot_levels(codes: jax.Array, n_levels: int, dtype=jnp.float32):
+    """Dense one-hot membership matrix E (N, L) — the index_matrices of
+    src/optimize.cpp:296-313.  Segment sums become (L,N)@(N,M) matmuls on the
+    MXU instead of scatter-adds."""
+    return jax.nn.one_hot(codes, n_levels, dtype=dtype)
+
+
+def update_row_factor_masked_fast(
+    E: jax.Array,        # (N, L) one-hot
+    Mw: jax.Array,       # (L, M) = E^T @ mask            (per-problem constant)
+    D: jax.Array,        # (L, M) = E^T @ (mask * data)   (per-problem constant)
+    mask: jax.Array,     # (N, M)
+    R_minus: jax.Array,  # (N, K) row factor excluding this confounder
+    F: jax.Array,        # (K, M)
+    lam,
+) -> jax.Array:
+    """Masked per-level ridge with precomputed constants.
+
+    The add-back residual is data - R_minus @ F, so the masked level sums
+    split as E^T(W .* data) - E^T(W .* (R_minus F)): the first term is the
+    constant D, and only the second is per-iteration work — one (N,K)@(K,M)
+    predict, one elementwise mask, one (L,N)@(N,M) matmul.  Mathematically
+    identical to update_row_factor_masked.
+    """
+    P = jnp.matmul(R_minus, F, precision=HIGHEST)          # (N, M)
+    T = jnp.matmul(E.T, mask * P, precision=HIGHEST)       # (L, M)
+    S = D - T
+    XtX = level_gram_masked(Mw, F)                         # (L, K, K)
+    Xty = jnp.matmul(S, F.T, precision=HIGHEST)            # (L, K)
+    return _ridge_solve_batched(XtX, Xty, lam)
+
+
+def update_row_factor_dense_fast(
+    E: jax.Array,        # (N, L)
+    Ddense: jax.Array,   # (L, M) = E^T @ data            (per-problem constant)
+    counts: jax.Array,   # (L,)
+    R_minus: jax.Array,  # (N, K)
+    F: jax.Array,
+    gram: jax.Array,     # (K, K)
+    lam,
+) -> jax.Array:
+    """Dense per-level ridge with precomputed constants
+    (src/optimize.cpp:178-191 semantics)."""
+    P = jnp.matmul(R_minus, F, precision=HIGHEST)
+    S = Ddense - jnp.matmul(E.T, P, precision=HIGHEST)
+    XtX = counts[:, None, None] * gram
+    Xty = jnp.matmul(S, F.T, precision=HIGHEST)
+    return _ridge_solve_batched(XtX, Xty, lam)
+
+
 def update_row_factor_dense(
     residual_plus: jax.Array,
     F: jax.Array,

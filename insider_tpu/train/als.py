@@ -40,6 +40,23 @@ logger = logging.getLogger("insider_tpu")
 HIGHEST = lax.Precision.HIGHEST
 
 
+class RowPrecomp(NamedTuple):
+    """Per-problem constants that turn the row updates into pure matmuls
+    (ops/row_update.update_row_factor_*_fast).  Entries are None for
+    confounders where the one-hot materialization would be too large (the
+    driver then falls back to the segment-sum path for that confounder)."""
+
+    e: Tuple[Optional[jax.Array], ...]       # (N, L_v) one-hot
+    mw: Tuple[Optional[jax.Array], ...]      # masked: E^T @ mask (L, M)
+    d: Tuple[Optional[jax.Array], ...]       # masked: E^T(W.*X); dense: E^T X
+    counts: Tuple[Optional[jax.Array], ...]  # (L,)
+    wx: Optional[jax.Array]                  # masked: W .* X (N, M)
+    ctns_q: Optional[jax.Array]              # (P, M) = (c_j^2)^T W
+    ctns_bc: Optional[jax.Array]             # (P, M) = c_j^T (W .* X)
+    ctns_dc: Optional[jax.Array]             # (P, M) = c_j^T X   (dense path)
+    ctns_cc: Optional[jax.Array]             # (P,)   = c_j^T c_j
+
+
 class ProblemArrays(NamedTuple):
     """Dynamic (device array) part of a problem — a jit-friendly pytree."""
 
@@ -48,6 +65,7 @@ class ProblemArrays(NamedTuple):
     test_mask: jax.Array            # (N, M) f32 0/1
     codes: Tuple[jax.Array, ...]    # per-confounder (N,) int32, 0-based dense
     ctns: Optional[jax.Array]       # (N, P) continuous covariates or None
+    pre: Optional[RowPrecomp] = None
 
 
 @dataclasses.dataclass(frozen=True)
@@ -168,6 +186,8 @@ def build_problem(
         None if ctns_confounder is None else np.asarray(ctns_confounder, np.float32),
         dtype,
     )
+    pre = _precompute_row_constants(data_d, train_d, codes_d,
+                                    tuple(n_levels), ctns_d, masked)
     return Problem(
         arrays=ProblemArrays(
             data=data_d,
@@ -175,11 +195,55 @@ def build_problem(
             test_mask=test_d,
             codes=tuple(codes_d),
             ctns=ctns_d,
+            pre=pre,
         ),
         statics=ProblemStatics(
             n_levels=tuple(n_levels), masked=masked, mesh=mesh
         ),
     )
+
+
+# Memory budget for the one-hot fast path: skip it for a confounder whose
+# E or level-sum matrices would exceed these byte counts.
+_FAST_E_BYTES = 256 * 1024 * 1024
+_FAST_LM_BYTES = 512 * 1024 * 1024
+
+
+def _precompute_row_constants(data, mask, codes, n_levels, ctns, masked
+                              ) -> RowPrecomp:
+    from insider_tpu.ops.row_update import one_hot_levels
+
+    N, M = data.shape
+    HI = HIGHEST
+    e, mw, d, counts = [], [], [], []
+    wx = mask * data if masked else None
+    for c, L in zip(codes, n_levels):
+        if N * L * 4 > _FAST_E_BYTES or 2 * L * M * 4 > _FAST_LM_BYTES:
+            e.append(None)
+            mw.append(None)
+            d.append(None)
+            counts.append(None)
+            continue
+        E = one_hot_levels(c, L)
+        e.append(E)
+        counts.append(jnp.sum(E, axis=0))
+        if masked:
+            mw.append(jnp.matmul(E.T, mask, precision=HI))
+            d.append(jnp.matmul(E.T, wx, precision=HI))
+        else:
+            mw.append(None)
+            d.append(jnp.matmul(E.T, data, precision=HI))
+    q = bc = dc = cc = None
+    if ctns is not None:
+        cc = jnp.sum(ctns * ctns, axis=0)                      # (P,)
+        if masked:
+            q = jnp.matmul((ctns * ctns).T, mask, precision=HI)   # (P, M)
+            bc = jnp.matmul(ctns.T, wx, precision=HI)             # (P, M)
+        else:
+            dc = jnp.matmul(ctns.T, data, precision=HI)           # (P, M)
+    return RowPrecomp(e=tuple(e), mw=tuple(mw), d=tuple(d),
+                      counts=tuple(counts), wx=wx, ctns_q=q, ctns_bc=bc,
+                      ctns_dc=dc, ctns_cc=cc)
 
 
 def _row_factor(arrays: ProblemArrays, state: InsiderState) -> jax.Array:
@@ -212,19 +276,34 @@ def _als_iteration(arrays: ProblemArrays, statics: ProblemStatics,
     # one N*K*M matmul per confounder, mathematically identical.
     cfd_new: List[jax.Array] = list(state.cfd_factors)
     n_cfd = len(arrays.codes)
+    pre = arrays.pre
     for v in range(n_cfd):
         R_minus = R - cfd_new[v][arrays.codes[v]]
-        resid_plus = arrays.data - losses.predict(R_minus, F)
+        fast = pre is not None and pre.e[v] is not None
         if masked:
-            V = row_update.update_row_factor_masked(
-                resid_plus, mask, F, arrays.codes[v], statics.n_levels[v],
-                hypers.lam1,
-            )
+            if fast:
+                V = row_update.update_row_factor_masked_fast(
+                    pre.e[v], pre.mw[v], pre.d[v], mask, R_minus, F,
+                    hypers.lam1,
+                )
+            else:
+                resid_plus = arrays.data - losses.predict(R_minus, F)
+                V = row_update.update_row_factor_masked(
+                    resid_plus, mask, F, arrays.codes[v],
+                    statics.n_levels[v], hypers.lam1,
+                )
         else:
-            V = row_update.update_row_factor_dense(
-                resid_plus, F, gram, arrays.codes[v], statics.n_levels[v],
-                hypers.lam1,
-            )
+            if fast:
+                V = row_update.update_row_factor_dense_fast(
+                    pre.e[v], pre.d[v], pre.counts[v], R_minus, F, gram,
+                    hypers.lam1,
+                )
+            else:
+                resid_plus = arrays.data - losses.predict(R_minus, F)
+                V = row_update.update_row_factor_dense(
+                    resid_plus, F, gram, arrays.codes[v],
+                    statics.n_levels[v], hypers.lam1,
+                )
         cfd_new[v] = V
         R = R_minus + V[arrays.codes[v]]
 
@@ -235,16 +314,30 @@ def _als_iteration(arrays: ProblemArrays, statics: ProblemStatics,
         for j in range(P):
             c = arrays.ctns[:, j]
             R_minus = R - jnp.outer(c, W[j])
-            resid_plus = arrays.data - losses.predict(R_minus, F)
             if masked:
-                w = continuous.update_ctns_row_masked(
-                    resid_plus, mask, F, c, W[j], hypers.lam1,
-                    tol=step_statics.ctns_tol,
-                    max_sweeps=step_statics.max_ctns_sweeps,
-                )
+                if pre is not None and pre.ctns_q is not None:
+                    w = continuous.update_ctns_row_masked_fast(
+                        pre.ctns_q[j], pre.ctns_bc[j], mask, R_minus, F, c,
+                        W[j], hypers.lam1, tol=step_statics.ctns_tol,
+                        max_sweeps=step_statics.max_ctns_sweeps,
+                    )
+                else:
+                    resid_plus = arrays.data - losses.predict(R_minus, F)
+                    w = continuous.update_ctns_row_masked(
+                        resid_plus, mask, F, c, W[j], hypers.lam1,
+                        tol=step_statics.ctns_tol,
+                        max_sweeps=step_statics.max_ctns_sweeps,
+                    )
             else:
-                w = continuous.update_ctns_row_dense(resid_plus, F, gram, c,
-                                                     hypers.lam1)
+                if pre is not None and pre.ctns_dc is not None:
+                    w = continuous.update_ctns_row_dense_fast(
+                        pre.ctns_dc[j], pre.ctns_cc[j], R_minus, F, gram, c,
+                        hypers.lam1,
+                    )
+                else:
+                    resid_plus = arrays.data - losses.predict(R_minus, F)
+                    w = continuous.update_ctns_row_dense(resid_plus, F, gram,
+                                                         c, hypers.lam1)
             W = W.at[j].set(w)
             R = R_minus + jnp.outer(c, w)
 
@@ -258,6 +351,8 @@ def _als_iteration(arrays: ProblemArrays, statics: ProblemStatics,
             sub_tol_eff, state.key, step_statics.max_cd_sweeps,
             alpha_is_zero=step_statics.alpha_is_zero,
             use_pallas=step_statics.use_pallas,
+            masked_data=None if pre is None else pre.wx,
+            mesh=statics.mesh,
         )
     else:
         F_new, key, _ = col_update.update_columns_dense(
