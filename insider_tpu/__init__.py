@@ -34,6 +34,8 @@ from insider_tpu.train.als import optimize
 from insider_tpu.tune.grid import tune
 from insider_tpu.analysis.glm import glm_interaction
 from insider_tpu.ops.row_update import fit_interaction
+from insider_tpu.ops.solvers import coordinate_descent, strong_coordinate_descent
+from insider_tpu.checkpoint import load_checkpoint, save_checkpoint
 
 __version__ = "0.1.0"
 
@@ -52,4 +54,8 @@ __all__ = [
     "tune",
     "glm_interaction",
     "fit_interaction",
+    "coordinate_descent",
+    "strong_coordinate_descent",
+    "load_checkpoint",
+    "save_checkpoint",
 ]

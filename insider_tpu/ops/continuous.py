@@ -64,31 +64,63 @@ def update_ctns_row_masked_fast(
     return _ctns_cd(XtX, b, w0, lam, tol, max_sweeps)
 
 
-def _ctns_cd(XtX, b, w0, lam, tol, max_sweeps):
-    """Sequential-coordinate ridge CD in K-space (src/optimize.cpp:102-126)."""
+def update_ctns_row_masked_v1(
+    resid_plus: jax.Array,
+    mask: jax.Array,
+    F: jax.Array,
+    c: jax.Array,
+    w0: jax.Array,
+    lam: float,
+    tol: float = 1e-3,
+    max_sweeps: int = 100,
+) -> jax.Array:
+    """optimize_continuous (v1, src/optimize.cpp:15-63): identical CD to v2
+    but stops on the per-sweep loss decrease delta < 1e-3 (:59) instead of
+    sum|delta w|.  Exported by the reference bridge but unused by the driver
+    (which calls v2 only, :345); kept for API parity.
+    """
+    q = jnp.matmul(c * c, mask, precision=HIGHEST)
+    XtX = jnp.matmul(F * q[None, :], F.T, precision=HIGHEST)
+    b = jnp.matmul(F, jnp.matmul(c, mask * resid_plus, precision=HIGHEST),
+                   precision=HIGHEST)
+    return _ctns_cd(XtX, b, w0, lam, tol, max_sweeps, loss_criterion=True)
+
+
+def _ctns_cd(XtX, b, w0, lam, tol, max_sweeps, loss_criterion=False):
+    """Sequential-coordinate ridge CD in K-space (src/optimize.cpp:102-126).
+
+    loss_criterion=True reproduces v1's stop rule: per-sweep objective
+    decrease < tol, tracked as the sum of exact per-coordinate decrements
+    (robust in f32; see ops/col_update.py docstring).
+    """
     K = XtX.shape[0]
     diag = jnp.diagonal(XtX)
 
     def coord_body(k, carry):
-        w, s = carry
+        w, s, dec = carry
         u = b[k] - s[k] + w[k] * diag[k]
         w_new = u / (diag[k] + lam)
         delta = w_new - w[k]
+        # exact ridge objective decrease for this coordinate update
+        dec = dec + (0.5 * (diag[k] + lam) * delta * delta)
         s = s + XtX[:, k] * delta
         w = w.at[k].set(w_new)
-        return w, s
+        return w, s, dec
 
     def cond(carry):
-        w, s, delta_sum, sweeps = carry
-        return (delta_sum >= tol) & (sweeps < max_sweeps)
+        w, s, crit, sweeps = carry
+        return (crit >= tol) & (sweeps < max_sweeps)
 
     def body(carry):
         w, s, _, sweeps = carry
-        w_new, s_new = lax.fori_loop(0, K, coord_body, (w, s))
-        return w_new, s_new, jnp.sum(jnp.abs(w_new - w)), sweeps + 1
+        w_new, s_new, dec = lax.fori_loop(
+            0, K, coord_body, (w, s, jnp.asarray(0.0, w.dtype))
+        )
+        crit = dec if loss_criterion else jnp.sum(jnp.abs(w_new - w))
+        return w_new, s_new, crit, sweeps + 1
 
     s0 = jnp.matmul(XtX, w0, precision=HIGHEST)
-    # Seed delta_sum with +inf so at least one sweep runs (reference while(1)).
+    # Seed the criterion with +inf so at least one sweep runs (while(1)).
     w, _, _, _ = lax.while_loop(
         cond, body, (w0, s0, jnp.asarray(jnp.inf, w0.dtype), jnp.int32(0))
     )

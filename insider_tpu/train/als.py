@@ -416,6 +416,7 @@ def optimize(
     progress_callback: Optional[Callable[[dict], None]] = None,
     checkpoint_path: Optional[str] = None,
     resume: bool = False,
+    profile_dir: Optional[str] = None,
 ) -> OptimizeResult:
     """Run ALS to convergence.  Mirrors src/optimize.cpp:256-422.
 
@@ -427,6 +428,9 @@ def optimize(
     checkpoint_path: snapshot factors+key at every check boundary; with
     resume=True an existing snapshot restarts the run deterministically from
     (iter, key, factors) (SURVEY.md §5).
+    profile_dir: capture a jax.profiler trace of the second step chunk (the
+    first is compile) — the tracing subsystem the reference lacks
+    (SURVEY.md §5, tracing row).
     """
     N, M = problem.shape
     start_iter = 0
@@ -501,8 +505,15 @@ def optimize(
         boundary = min(boundary, config.max_iter)
         n = boundary - it + 1
         sub_tol_eff = jnp.asarray(config.sub_tol * decay, jnp.float32)
-        state = _run_steps(arrays, statics, step_statics, hypers, state,
-                           sub_tol_eff, jnp.int32(n))
+        chunk_idx = len(history)  # 1 = first post-init chunk (compile)
+        if profile_dir and chunk_idx == 2:
+            with jax.profiler.trace(profile_dir):
+                state = _run_steps(arrays, statics, step_statics, hypers,
+                                   state, sub_tol_eff, jnp.int32(n))
+                jax.block_until_ready(state.column_factor)
+        else:
+            state = _run_steps(arrays, statics, step_statics, hypers, state,
+                               sub_tol_eff, jnp.int32(n))
         it = boundary + 1
 
         pre_loss = loss
