@@ -36,6 +36,7 @@ from insider_tpu.analysis.glm import glm_interaction
 from insider_tpu.ops.row_update import fit_interaction
 from insider_tpu.ops.solvers import coordinate_descent, strong_coordinate_descent
 from insider_tpu.checkpoint import load_checkpoint, save_checkpoint
+from insider_tpu.sharding.distributed import initialize_distributed, pod_sharding
 
 __version__ = "0.1.0"
 
@@ -58,4 +59,6 @@ __all__ = [
     "strong_coordinate_descent",
     "load_checkpoint",
     "save_checkpoint",
+    "initialize_distributed",
+    "pod_sharding",
 ]

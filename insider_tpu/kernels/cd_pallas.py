@@ -90,9 +90,18 @@ def _cd_kernel(fscal_ref, xtx_ref, xty_ref, beta0_ref, out_ref,
             upd = active_s[k:k + 1, :] * (1.0 - conv)
             w = jnp.where(upd > 0.5, w, b_k)
             delta = w - b_k
-            # exact per-coordinate objective decrease (col_update docstring)
-            dec = dec - (0.5 * (d + l2) * (w * w - b_k * b_k)
-                         - u * delta + l1 * (jnp.abs(w) - jnp.abs(b_k)))
+            # Exact per-coordinate objective decrease in cancellation-free
+            # form (see col_update docstring): at the soft-threshold optimum
+            # u - (d+l2) w = l1*xi with xi in the |.| subdifferential, so
+            #   f(o) - f(w) = 1/2 (d+l2) delta^2 + l1 (|o| - xi*o) >= 0
+            # term by term — computable to full relative precision in f32,
+            # unlike the u*delta form whose rounding floor can exceed tol.
+            xi = jnp.where(
+                w != 0.0, jnp.sign(w),
+                jnp.clip(u / jnp.maximum(l1, 1e-30), -1.0, 1.0),
+            )
+            dec = dec + (0.5 * denom * delta * delta
+                         + l1 * (jnp.abs(b_k) - xi * b_k))
             # XtX row k == column k (symmetric): rank-1 s maintenance
             s_s[:] = s_s[:] + xtx_ref[k] * delta
             out_ref[k:k + 1, :] = w

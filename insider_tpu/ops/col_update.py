@@ -15,16 +15,24 @@ reactivation) are preserved exactly.
 Convergence accounting: the reference stops a column when the loss decrease of
 a full sweep falls below `tol` (coordinate_descent.cpp:112-114), with tol
 decayed down to ~1e-11 (src/optimize.cpp:376,389-403).  Computing that as a
-difference of two O(1e3) losses is impossible in f32, so we accumulate the
-per-coordinate loss *decrements* directly:
+difference of two O(1e3) losses is impossible in f32; even the direct
+per-coordinate decrement
 
-    delta_f_k = 1/2 (XtX_kk + lam(1-alpha)) (w^2 - o^2) - u (w - o)
-                + lam*alpha (|w| - |o|)            [exact algebra, <= 0]
+    -delta_f_k = -(1/2 (d+l2)(w^2 - o^2) - u (w - o) + l1 (|w| - |o|))
 
-whose sum over a sweep equals the sweep's loss decrease exactly (in exact
-arithmetic) and is computed from small quantities, so it stays accurate in f32
-all the way to ~1e-30.  This is the one deliberate deviation from the
-reference's arithmetic — same math, robust numerics.
+has a u*(w-o) cancellation whose f32 rounding floor (~eps*|u|*|w|) can sit
+ABOVE tol, leaving straggler columns sweeping forever.  We instead use the
+optimality identity: the soft-threshold update satisfies u - (d+l2) w =
+l1*xi, xi in the subdifferential of |w|, which turns the decrement into a sum
+of two NONNEGATIVE terms
+
+    -delta_f_k = 1/2 (d+l2) (w - o)^2 + l1 (|o| - xi*o),
+    xi = sign(w) if w != 0 else u/l1 (in [-1, 1])
+
+identical in exact arithmetic and computable to full relative precision in
+f32 (the quadratic term's noise floor is ~eps^2).  Summed over a sweep it
+equals the sweep's loss decrease exactly.  This is the one deliberate
+deviation from the reference's arithmetic — same math, robust numerics.
 """
 
 from __future__ import annotations
@@ -102,11 +110,15 @@ def _sweep(XtX, diag, Xty, lam, alpha, perm, state: CDState):
         upd = state.active[k] & (~state.converged)
         w = jnp.where(upd, w, beta[k])
         delta = w - beta[k]
-        # Exact per-coordinate objective decrease (see module docstring).
-        dec_k = -(
-            0.5 * (d_k + l2) * (w * w - beta[k] * beta[k])
-            - u * delta
-            + l1 * (jnp.abs(w) - jnp.abs(beta[k]))
+        # Exact per-coordinate objective decrease, cancellation-free form
+        # (see module docstring): both terms nonnegative, full relative
+        # precision in f32.
+        xi = jnp.where(
+            w != 0.0, jnp.sign(w),
+            jnp.clip(u / jnp.maximum(l1, 1e-30), -1.0, 1.0),
+        )
+        dec_k = 0.5 * denom * delta * delta + l1 * (
+            jnp.abs(beta[k]) - xi * beta[k]
         )
         # s += XtX[:, :, k] * delta  (rank-1 maintenance,
         # coordinate_descent.cpp:107, vectorized across columns).

@@ -23,9 +23,12 @@ from __future__ import annotations
 import jax.numpy as jnp
 from jax import lax
 
-# Lane count of the sequential compensated stage.  Large enough to keep the
-# VPU busy per step; small enough that the final tree compiles instantly.
-_LANES = 1 << 15
+# Lane count of the sequential compensated stage.  The fori_loop steps are
+# sequential (the compensation carry is a dependency), so wall time is
+# (n / LANES) * step_latency: wide lanes matter more than per-step VPU
+# occupancy.  1<<18 keeps the ageing-scale eval at ~64 steps while the final
+# pairwise tree (log2 L halvings) still compiles instantly.
+_LANES = 1 << 18
 
 
 def two_sum(a, b):
