@@ -54,9 +54,21 @@ class FitConfig:
     # compensated (double-single) summation so f32 suffices for the reference's
     # 1e-9-relative stopping rule; see ops/precise.py.
     dtype: str = "float32"
-    # Use the Pallas CD kernel for the column update. None = auto (TPU yes,
+    # Use the Pallas kernels for the column update. None = auto (TPU yes,
     # CPU no — the jnp path is the CPU/interpret reference).
     use_pallas: Optional[bool] = None
+    # Column sub-solver for alpha > 0: "cd" = strong-rule coordinate descent
+    # (the reference's algorithm, coordinate_descent.cpp:57); "fss" = batched
+    # feature-sign search (exact active-set solves, ops/fss.py — the TPU-fast
+    # path; the reference ships its own R prototype of this algorithm,
+    # R/optimization_functions.R:136).  "auto" = fss.  Both solve the same
+    # convex subproblem; fss returns its exact optimum, so the sub_tol decay
+    # ladder becomes a no-op for it.
+    col_solver: str = "auto"
+    # Outer-step cap for the fss solver (each step = one batched K x K
+    # solve; sign patterns are finite so termination is guaranteed, this is
+    # a jit-safety bound).
+    max_fss_outer: int = 48
 
     @property
     def sub_tol_decay_ladder(self) -> Tuple[float, ...]:

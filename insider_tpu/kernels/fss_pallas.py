@@ -1,0 +1,206 @@
+"""Pallas TPU kernel for batched feature-sign search (exact column solves).
+
+Replaces coordinate-descent *sweeps* (kernels/cd_pallas.py) with active-set
+*solves* for the per-column elastic net: per outer step one masked K x K
+Gauss-Jordan solve per column — all columns of a 1024-wide block
+simultaneously, everything resident in VMEM.  From an ALS warm start the
+sign pattern is nearly correct, so a handful of outer steps replaces the
+~50-150 CD sweeps the ill-conditioned Grams need (measured: CD was 78% of
+the ALS iteration).  Algorithm and invariants: ops/fss.py (the jnp
+reference, which this kernel must match); the reference package's own R
+prototype is feature_sign_with_screening (R/optimization_functions.R:136).
+
+Everything is static-shaped: active sets are (K, BM) 0/1 floats, the GJ
+elimination is unrolled over K (inactive rows/cols are identity — exact
+decoupling), the single-violator KKT activation picks its coordinate with a
+max + first-match mask (no argmax gather).  Blocks early-exit when all
+their columns converge.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+DEFAULT_BLOCK = 1024
+
+# Relative KKT slack — must match ops/fss.py's default so the kernel and the
+# jnp reference compute the same iteration.
+KKT_RTOL = 1e-4
+
+
+def _fss_kernel(fscal_ref, xtx_ref, xty_ref, beta0_ref, out_ref,
+                u_s, rhs_s, theta_s, act_s, conv_s,
+                *, K: int, max_outer: int):
+    lam = fscal_ref[0]
+    alpha = fscal_ref[1]
+    l1 = lam * alpha
+    l2 = lam * (1.0 - alpha)
+
+    xty = xty_ref[:]                                   # (K, BM)
+    BM = xty.shape[-1]
+
+    beta = beta0_ref[:]
+    out_ref[:] = beta
+    act_s[:] = (beta != 0.0).astype(jnp.float32)
+    theta_s[:] = jnp.sign(beta)
+    conv_s[:] = jnp.zeros((1, BM), jnp.float32)
+
+    def outer_body(carry):
+        outer, _ = carry
+        act = act_s[:]                                 # (K, BM)
+        theta = theta_s[:]
+        conv = conv_s[:]                               # (1, BM)
+        beta = out_ref[:]
+
+        # --- masked system build: U = A restricted to the active set,
+        # identity elsewhere; A = XtX + l2 I ---
+        # row mask act_i: (K, 1, BM); col mask act_j: (1, K, BM)
+        u_s[:] = xtx_ref[:] * act[:, None, :] * act[None, :, :]
+        rhs_s[:] = (xty - l1 * theta) * act
+        # diagonal: active += l2, inactive = 1 (static unroll over K)
+        for k in range(K):
+            a_k = act[k:k + 1, :]
+            u_s[k, k:k + 1, :] = (u_s[k, k:k + 1, :] + l2 * a_k
+                                  + (1.0 - a_k))
+
+        # --- unrolled Gauss-Jordan: after K steps rhs_s holds beta* ---
+        # No pivoting needed: active principal blocks are SPD (ridge l2 on
+        # the diagonal; Schur complements of SPD stay SPD), inactive pivots
+        # are exactly 1.
+        for k in range(K):
+            piv = u_s[k, k:k + 1, :]                   # (1, BM)
+            inv = 1.0 / piv
+            rowk = u_s[k] * inv                        # (K, BM)
+            rhsk = rhs_s[k:k + 1, :] * inv             # (1, BM)
+            colk = u_s[:, k, :]                        # (K, BM) snapshot
+            u_s[:] = u_s[:] - colk[:, None, :] * rowk[None, :, :]
+            rhs_s[:] = rhs_s[:] - colk * rhsk
+            u_s[k] = rowk
+            rhs_s[k:k + 1, :] = rhsk
+        beta_star = rhs_s[:]                           # (K, BM)
+
+        # --- line search to the first sign crossing ---
+        flip = act * (jnp.sign(beta_star) != theta).astype(jnp.float32)
+        denom = beta - beta_star
+        safe = jnp.where((flip > 0.5) & (denom != 0.0), denom, 1.0)
+        t_k = jnp.where(flip > 0.5, beta / safe, 1.0)
+        t_k = jnp.clip(t_k, 0.0, 1.0)
+        t = jnp.min(t_k, axis=0, keepdims=True)        # (1, BM)
+
+        live = (1.0 - conv)
+        move = act * live
+        beta = jnp.where(move > 0.5, beta + t * (beta_star - beta), beta)
+        crossed = (flip > 0.5) & (t_k <= t) & (t < 1.0) & (live > 0.5)
+        beta = jnp.where(crossed, 0.0, beta)
+        # Active iff beta nonzero — consistent for frozen columns too, whose
+        # beta did not move.
+        act = (beta != 0.0).astype(jnp.float32)
+        theta = jnp.sign(beta)
+
+        # --- KKT: single-violator activation on solved columns ---
+        solved = (t >= 1.0).astype(jnp.float32) * live  # (1, BM)
+        grad = (jnp.sum(xtx_ref[:] * beta[None, :, :], axis=1)
+                + l2 * beta - xty)                     # (K, BM)
+        # f32 KKT slack scaled by |b| (see ops/fss.py): prevents boundary
+        # coordinates from oscillating activate/deactivate forever.
+        scale = jnp.max(jnp.abs(xty), axis=0, keepdims=True)
+        thresh = l1 + KKT_RTOL * (l1 + scale)
+        viol = ((1.0 - act) * (jnp.abs(grad) > thresh).astype(jnp.float32)
+                * solved)
+        score = jnp.where(viol > 0.5, jnp.abs(grad), -1.0)
+        best = jnp.max(score, axis=0, keepdims=True)   # (1, BM)
+        has_viol = (best > 0.0).astype(jnp.float32)
+        first = ((score >= best) & (viol > 0.5)).astype(jnp.float32)
+        # keep only the first tied coordinate (unrolled prefix-OR over K;
+        # Mosaic has no cumsum)
+        seen = jnp.zeros((1, BM), jnp.float32)
+        rows = []
+        for k in range(K):
+            f_k = first[k:k + 1, :]
+            rows.append(f_k * (1.0 - seen))
+            seen = jnp.maximum(seen, f_k)
+        pick = jnp.concatenate(rows, axis=0)
+        act = jnp.maximum(act, pick)
+        theta = jnp.where(pick > 0.5, -jnp.sign(grad), theta)
+        conv = jnp.maximum(conv, solved * (1.0 - has_viol))
+
+        out_ref[:] = beta
+        act_s[:] = act
+        theta_s[:] = theta
+        conv_s[:] = conv
+        done = jnp.min(conv) >= 0.5
+        return outer + 1, done
+
+    def cond(carry):
+        outer, done = carry
+        return jnp.logical_not(done) & (outer < max_outer)
+
+    lax.while_loop(cond, outer_body, (jnp.int32(0), jnp.bool_(False)))
+
+
+@functools.partial(
+    jax.jit, static_argnames=("max_outer", "block", "interpret"),
+)
+def feature_sign_pallas(
+    xtx: jax.Array,      # (K, K, M) per-column Grams (gene axis last)
+    xty: jax.Array,      # (K, M)
+    beta0: jax.Array,    # (K, M) warm start
+    lam,
+    alpha,
+    max_outer: int = 48,
+    block: int = DEFAULT_BLOCK,
+    interpret: bool = False,
+):
+    """Exact batched elastic-net solves via the FSS kernel.  Returns beta.
+
+    Requires alpha > 0; the caller dispatches alpha == 0 to the batched
+    ridge solve.  Padded tail columns have zero Grams/rhs: beta stays 0,
+    grad = 0, no violations -> converged after one step.
+    """
+    K, M = xty.shape
+    BM = min(block, max(128, 1 << (M - 1).bit_length()))
+    Mp = ((M + BM - 1) // BM) * BM
+    if Mp != M:
+        pad = Mp - M
+        xtx = jnp.pad(xtx, ((0, 0), (0, 0), (0, pad)))
+        xty = jnp.pad(xty, ((0, 0), (0, pad)))
+        beta0 = jnp.pad(beta0, ((0, 0), (0, pad)))
+
+    fscal = jnp.stack([jnp.asarray(lam, jnp.float32),
+                       jnp.asarray(alpha, jnp.float32)])
+
+    kernel = functools.partial(_fss_kernel, K=K, max_outer=max_outer)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(Mp // BM,),
+        in_specs=[
+            pl.BlockSpec((K, K, BM), lambda i, *_: (0, 0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((K, BM), lambda i, *_: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((K, BM), lambda i, *_: (0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((K, BM), lambda i, *_: (0, i),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((K, K, BM), jnp.float32),   # U (GJ workspace)
+            pltpu.VMEM((K, BM), jnp.float32),      # rhs / beta*
+            pltpu.VMEM((K, BM), jnp.float32),      # theta
+            pltpu.VMEM((K, BM), jnp.float32),      # active
+            pltpu.VMEM((1, BM), jnp.float32),      # converged
+        ],
+    )
+    beta = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((K, Mp), jnp.float32),
+        interpret=interpret,
+    )(fscal, xtx, xty, beta0)
+    return beta[:, :M]

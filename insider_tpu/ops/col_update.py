@@ -211,6 +211,31 @@ def elastic_net_cd(
     return out.beta, key, out.sweeps
 
 
+def _shard_cols(mesh, fn, XtXt, Xty, beta0):
+    """Run a per-column-block kernel on the local gene shard of each device.
+
+    Pallas kernels are not GSPMD-partitionable, so shard_map makes the
+    zero-communication column parallelism explicit (SURVEY.md §2d).
+    """
+    if mesh is None:
+        return fn(XtXt, Xty, beta0)
+    from jax.sharding import PartitionSpec as P
+
+    try:
+        from jax import shard_map
+    except ImportError:
+        from jax.experimental.shard_map import shard_map
+
+    wrapped = shard_map(
+        fn,
+        mesh=mesh,
+        in_specs=(P(None, None, "cols"), P(None, "cols"), P(None, "cols")),
+        out_specs=P(None, "cols"),
+        check_vma=False,
+    )
+    return wrapped(XtXt, Xty, beta0)
+
+
 def update_columns_masked(
     data: jax.Array,        # (N, M) — NOTE: the driver passes data, not the
                             # residual (src/optimize.cpp:376); the column solve
@@ -227,6 +252,8 @@ def update_columns_masked(
     use_pallas: bool = False,
     masked_data: jax.Array = None,   # precomputed mask*data, optional
     mesh=None,                       # shard the CD kernel over mesh axis 'cols'
+    solver: str = "cd",              # "cd" | "fss" (alpha > 0 only)
+    max_fss_outer: int = 48,
 ):
     """Masked (tuning==1) column update, src/optimize.cpp:203-230."""
     if alpha_is_zero is None:
@@ -239,6 +266,24 @@ def update_columns_masked(
         XtX = col_gram_masked(R, mask)                  # (M, K, K)
         F = _ridge_solve_batched(XtX, Xty.T, lam).T
         return F, key, jnp.int32(0)
+    if solver == "fss":
+        if use_pallas:
+            from insider_tpu.kernels.fss_pallas import feature_sign_pallas
+
+            XtXt = col_gram_masked_t(R, mask)           # (K, K, M)
+            F = _shard_cols(
+                mesh,
+                lambda xt, xy, b0: feature_sign_pallas(
+                    xt, xy, b0, lam, alpha, max_fss_outer),
+                XtXt, Xty, F_prev,
+            )
+            return F, key, jnp.int32(-2)
+        from insider_tpu.ops.fss import feature_sign_batched
+
+        XtX = col_gram_masked(R, mask)
+        F, outers = feature_sign_batched(XtX, Xty, F_prev, lam, alpha,
+                                         max_fss_outer)
+        return F, key, outers
     if use_pallas:
         from insider_tpu.kernels.cd_pallas import elastic_net_cd_pallas
         # Randomize coordinate order by permuting R's columns (one order per
@@ -252,30 +297,12 @@ def update_columns_masked(
         XtXt = col_gram_masked_t(Rp, mask)              # (K, K, M)
         Xty_p = jnp.matmul(Rp.T, masked_data, precision=HIGHEST)
         beta0 = F_prev[perm]
-        if mesh is not None:
-            # Per-device CD on the local gene shard: Pallas kernels are not
-            # GSPMD-partitionable, so shard_map makes the zero-communication
-            # column parallelism explicit (SURVEY.md §2d).
-            from jax.sharding import PartitionSpec as P
-
-            try:
-                from jax import shard_map
-            except ImportError:
-                from jax.experimental.shard_map import shard_map
-
-            cd_local = shard_map(
-                lambda xt, xy, b0: elastic_net_cd_pallas(
-                    xt, xy, b0, lam, alpha, tol, max_sweeps),
-                mesh=mesh,
-                in_specs=(P(None, None, "cols"), P(None, "cols"),
-                          P(None, "cols")),
-                out_specs=P(None, "cols"),
-                check_vma=False,
-            )
-            F = cd_local(XtXt, Xty_p, beta0)
-        else:
-            F = elastic_net_cd_pallas(XtXt, Xty_p, beta0, lam, alpha, tol,
-                                      max_sweeps)
+        F = _shard_cols(
+            mesh,
+            lambda xt, xy, b0: elastic_net_cd_pallas(
+                xt, xy, b0, lam, alpha, tol, max_sweeps),
+            XtXt, Xty_p, beta0,
+        )
         return F[inv], key, jnp.int32(-1)
     XtX = col_gram_masked(R, mask)
     return elastic_net_cd(XtX, Xty, F_prev, lam, alpha, tol, key, max_sweeps)
@@ -292,6 +319,8 @@ def update_columns_dense(
     max_sweeps: int = 200,
     alpha_is_zero: bool = None,
     use_pallas: bool = False,
+    solver: str = "cd",
+    max_fss_outer: int = 48,
 ):
     """Dense (tuning==0) column update, src/optimize.cpp:232-247."""
     if alpha_is_zero is None:
@@ -304,6 +333,20 @@ def update_columns_dense(
         A = XtX + lam * jnp.eye(K, dtype=R.dtype)
         F = gauss_jordan_solve(A, Xty)
         return F, key, jnp.int32(0)
+    if solver == "fss":
+        M = data.shape[1]
+        if use_pallas:
+            from insider_tpu.kernels.fss_pallas import feature_sign_pallas
+
+            XtXt = jnp.broadcast_to(XtX[:, :, None], (K, K, M))
+            F = feature_sign_pallas(XtXt, Xty, F_prev, lam, alpha,
+                                    max_fss_outer)
+            return F, key, jnp.int32(-2)
+        from insider_tpu.ops.fss import feature_sign_batched
+
+        F, outers = feature_sign_batched(XtX[None], Xty, F_prev, lam, alpha,
+                                         max_fss_outer)
+        return F, key, outers
     if use_pallas:
         from insider_tpu.kernels.cd_pallas import elastic_net_cd_pallas
         key, sub = jax.random.split(key)

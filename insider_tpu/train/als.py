@@ -95,6 +95,11 @@ class StepStatics:
     max_ctns_sweeps: int
     ctns_tol: float
     use_pallas: bool = False
+    # "cd" (reference algorithm) or "fss" (exact active-set solves — the
+    # fast path; see ops/fss.py).  With fss the sub_tol decay ladder is a
+    # no-op: subproblems are solved to their exact optimum every iteration.
+    col_solver: str = "fss"
+    max_fss_outer: int = 48
 
     @classmethod
     def from_config(cls, config: FitConfig):
@@ -104,12 +109,19 @@ class StepStatics:
 
             # 'tpu' or this image's 'axon' TPU tunnel; CPU uses the jnp path.
             use_pallas = jax.default_backend() != "cpu"
+        solver = config.col_solver
+        if solver == "auto":
+            solver = "fss"
+        if solver not in ("cd", "fss"):
+            raise ValueError(f"col_solver must be auto|cd|fss, got {solver}")
         return cls(
             alpha_is_zero=(config.alpha == 0.0),
             max_cd_sweeps=config.max_cd_sweeps,
             max_ctns_sweeps=config.max_ctns_sweeps,
             ctns_tol=config.ctns_tol,
             use_pallas=use_pallas,
+            col_solver=solver,
+            max_fss_outer=config.max_fss_outer,
         )
 
 
@@ -353,6 +365,8 @@ def _als_iteration(arrays: ProblemArrays, statics: ProblemStatics,
             use_pallas=step_statics.use_pallas,
             masked_data=None if pre is None else pre.wx,
             mesh=statics.mesh,
+            solver=step_statics.col_solver,
+            max_fss_outer=step_statics.max_fss_outer,
         )
     else:
         F_new, key, _ = col_update.update_columns_dense(
@@ -360,6 +374,8 @@ def _als_iteration(arrays: ProblemArrays, statics: ProblemStatics,
             sub_tol_eff, state.key, step_statics.max_cd_sweeps,
             alpha_is_zero=step_statics.alpha_is_zero,
             use_pallas=step_statics.use_pallas,
+            solver=step_statics.col_solver,
+            max_fss_outer=step_statics.max_fss_outer,
         )
     new_state = InsiderState(cfd_new, W, F_new, key)
     return apply_constraints(statics.mesh, new_state)

@@ -1,0 +1,149 @@
+"""Feature-sign search solver (ops/fss.py + kernels/fss_pallas.py).
+
+Validation strategy: FSS must land on the SAME optimum as long-run
+coordinate descent (the subproblem is strictly convex), satisfy KKT exactly,
+and the Pallas kernel must reproduce the jnp reference bit-for-bit in
+interpret mode.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from insider_tpu.ops.col_update import elastic_net_cd, update_columns_masked
+from insider_tpu.ops.fss import feature_sign_batched
+from insider_tpu.kernels.fss_pallas import feature_sign_pallas
+
+
+def _problem(K=10, M=300, N=70, seed=0, ill=True):
+    rng = np.random.default_rng(seed)
+    X = rng.normal(size=(N, K))
+    if ill:
+        X[:, K // 2:] = (X[:, :K // 2] @ rng.normal(size=(K // 2, K - K // 2))
+                         * 0.9 + 0.1 * X[:, K // 2:])
+    Y = rng.normal(size=(N, M)) * 2
+    XtX = np.einsum("nk,nl->kl", X, X)[None].repeat(M, 0)
+    XtX += rng.normal(size=(M, K, K)) * 0.01
+    XtX = (XtX + XtX.transpose(0, 2, 1)) / 2
+    Xty = X.T @ Y
+    beta0 = (rng.normal(size=(K, M)) * 0.1).astype(np.float32)
+    return (jnp.asarray(XtX, jnp.float32), jnp.asarray(Xty, jnp.float32),
+            jnp.asarray(beta0))
+
+
+def _objective(B, XtX, Xty, lam, alpha):
+    B = np.asarray(B, np.float64)
+    XtX = np.asarray(XtX, np.float64)
+    Xty = np.asarray(Xty, np.float64)
+    q = (0.5 * np.einsum("km,mkl,lm->m", B, XtX, B)
+         - np.einsum("km,km->m", Xty, B))
+    return (q + lam * (1 - alpha) / 2 * np.sum(B * B, 0)
+            + lam * alpha * np.sum(np.abs(B), 0))
+
+
+@pytest.mark.parametrize("lam,alpha", [(3.0, 0.6), (1.0, 0.3), (5.0, 1.0)])
+def test_fss_matches_cd_optimum(lam, alpha):
+    XtX, Xty, beta0 = _problem()
+    bf, outers = feature_sign_batched(XtX, Xty, beta0, lam, alpha,
+                                      max_outer=64)
+    bc, _, _ = elastic_net_cd(XtX, Xty, beta0, lam, alpha, jnp.float32(1e-12),
+                              jax.random.PRNGKey(0), 3000)
+    of = _objective(bf, XtX, Xty, lam, alpha)
+    oc = _objective(bc, XtX, Xty, lam, alpha)
+    # FSS is exact: never worse than CD beyond f32 noise, usually better.
+    # (beta itself can differ more on near-degenerate columns where distinct
+    # near-optimal points tie in objective — compare objectives, not iterates.)
+    assert float(np.max(of - oc)) < 1e-3
+    assert int(outers) < 64
+    np.testing.assert_allclose(np.asarray(bf), np.asarray(bc), atol=2e-2)
+
+
+def test_fss_kkt_conditions():
+    XtX, Xty, beta0 = _problem(seed=3)
+    lam, alpha = 2.5, 0.5
+    bf, _ = feature_sign_batched(XtX, Xty, beta0, lam, alpha)
+    B = np.asarray(bf, np.float64)
+    grad = (np.einsum("mkl,lm->km", np.asarray(XtX, np.float64), B)
+            - np.asarray(Xty, np.float64) + lam * (1 - alpha) * B)
+    l1 = lam * alpha
+    # inactive: |grad| <= l1 (+ f32 slack); active: grad = -l1 sign(beta)
+    scale = np.abs(np.asarray(Xty)).max(axis=0, keepdims=True)
+    slack = 2e-4 * (l1 + scale)
+    assert (((B == 0) & (np.abs(grad) > l1 + slack)).sum()) == 0
+    act_res = np.abs(grad + l1 * np.sign(B))[B != 0]
+    assert float(act_res.max()) < 1e-2
+
+
+def test_fss_exact_zeros_lasso():
+    XtX, Xty, beta0 = _problem(seed=5)
+    bf, _ = feature_sign_batched(XtX, Xty, beta0, 8.0, 1.0)
+    frac0 = float((np.asarray(bf) == 0).mean())
+    assert frac0 > 0.2  # strong lasso -> plenty of exact zeros
+
+
+def test_pallas_kernel_matches_jnp_interpret():
+    # Same algorithm step for step; XLA may compile ULP-different arithmetic
+    # for the two paths (fusion/FMA choices vary with the CPU client), so
+    # compare to tight tolerance + identical objective, not bitwise.
+    XtX, Xty, beta0 = _problem(K=12, M=300, seed=1)
+    lam, alpha = 3.0, 0.6
+    bj, _ = feature_sign_batched(XtX, Xty, beta0, lam, alpha, max_outer=64)
+    XtXt = jnp.transpose(XtX, (1, 2, 0))
+    bp = feature_sign_pallas(XtXt, Xty, beta0, lam, alpha, max_outer=64,
+                             interpret=True)
+    np.testing.assert_allclose(np.asarray(bp), np.asarray(bj), atol=2e-3)
+    oj = _objective(bj, XtX, Xty, lam, alpha)
+    op = _objective(bp, XtX, Xty, lam, alpha)
+    assert float(np.abs(op - oj).max()) < 1e-4
+
+
+def test_pallas_padding_tail_block():
+    # M far from a multiple of the block: padded columns must stay zero.
+    XtX, Xty, beta0 = _problem(K=8, M=133, seed=2)
+    XtXt = jnp.transpose(XtX, (1, 2, 0))
+    bp = feature_sign_pallas(XtXt, Xty, beta0, 2.0, 0.5, max_outer=48,
+                             interpret=True, block=128)
+    bj, _ = feature_sign_batched(XtX, Xty, beta0, 2.0, 0.5, max_outer=48)
+    np.testing.assert_allclose(np.asarray(bp), np.asarray(bj), atol=2e-3)
+    op = _objective(bp, XtX, Xty, 2.0, 0.5)
+    oj = _objective(bj, XtX, Xty, 2.0, 0.5)
+    assert float(np.abs(op - oj).max()) < 1e-4
+
+
+def test_update_columns_fss_dispatch():
+    rng = np.random.default_rng(11)
+    N, M, K = 60, 257, 7
+    data = jnp.asarray(rng.normal(size=(N, M)), jnp.float32)
+    mask = jnp.asarray(rng.random((N, M)) < 0.9, jnp.float32)
+    R = jnp.asarray(rng.normal(size=(N, K)), jnp.float32)
+    F0 = jnp.asarray(rng.normal(size=(K, M)) * 0.1, jnp.float32)
+    lam, alpha = 2.0, 0.4
+    F_fss, _, outers = update_columns_masked(
+        data, mask, R, F0, lam, alpha, jnp.float32(1e-9),
+        jax.random.PRNGKey(0), solver="fss")
+    F_cd, _, _ = update_columns_masked(
+        data, mask, R, F0, lam, alpha, jnp.float32(1e-11),
+        jax.random.PRNGKey(0), max_sweeps=3000, solver="cd")
+    np.testing.assert_allclose(np.asarray(F_fss), np.asarray(F_cd), atol=5e-3)
+    assert int(outers) > 0
+
+
+def test_als_with_fss_monotone_and_recovers():
+    import insider_tpu as it
+    from insider_tpu.config import FitConfig
+    from insider_tpu.train import als
+
+    sim = it.simulate_insider_data(seed=0)
+    split = it.ratio_splitter(sim.data.astype(np.float64), ratio=0.1)
+    problem = als.build_problem(split.data, sim.confounder,
+                                split.train_indicator, split.test_indicator,
+                                masked=True)
+    config = FitConfig(latent_dim=5, lambda1=5.0, lambda2=5.0, alpha=0.6,
+                       max_iter=60, col_solver="fss", use_pallas=False)
+    res = als.optimize(problem, config, verbose=False)
+    losses = [h["loss"] for h in res.history]
+    assert all(np.isfinite(losses))
+    assert all(b <= a + 1e-6 * abs(a) for a, b in zip(losses, losses[1:]))
+    assert res.test_rmse < 1.6  # noise_std=1.0 -> near-oracle RMSE
