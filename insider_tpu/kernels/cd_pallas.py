@@ -151,7 +151,8 @@ def elastic_net_cd_pallas(
     """
     K, M = xty.shape
 
-    BM = min(block, max(128, 1 << (M - 1).bit_length()))
+    from insider_tpu.kernels.fss_pallas import _auto_block
+    BM = _auto_block(K, block, M, big_tensors=2)  # xtx double-buffered
     Mp = ((M + BM - 1) // BM) * BM
     if Mp != M:
         # Padded columns: xtx/xty/beta0 zero => u=0 => beta stays 0 and the

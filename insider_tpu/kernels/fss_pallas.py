@@ -34,6 +34,20 @@ DEFAULT_BLOCK = 1024
 KKT_RTOL = 1e-4
 
 
+def _auto_block(K: int, block: int, M: int, big_tensors: int) -> int:
+    """Largest lane-aligned column block whose VMEM footprint fits.
+
+    The (K, K, BM) tensors dominate: the Gram input block is double-buffered
+    by the pipeline and (for FSS) mirrored by the Gauss-Jordan scratch —
+    `big_tensors` * K*K*BM*4 bytes of the ~16 MB VMEM budget.  A fixed block
+    compiles fine at the flagship K=24 but blows VMEM around K>~40; scale it
+    down instead of failing at compile time."""
+    cap = (12 * 1024 * 1024) // (big_tensors * K * K * 4)
+    cap = max(128, (cap // 128) * 128)
+    want = min(block, max(128, 1 << (M - 1).bit_length()))
+    return max(128, min(want, cap))
+
+
 def _fss_kernel(fscal_ref, xtx_ref, xty_ref, beta0_ref, out_ref,
                 u_s, rhs_s, theta_s, act_s, conv_s,
                 *, K: int, max_outer: int):
@@ -86,7 +100,10 @@ def _fss_kernel(fscal_ref, xtx_ref, xty_ref, beta0_ref, out_ref,
         beta_star = rhs_s[:]                           # (K, BM)
 
         # --- line search to the first sign crossing ---
-        flip = act * (jnp.sign(beta_star) != theta).astype(jnp.float32)
+        # beta != 0 exempts just-activated coordinates from the flip set on
+        # their first solve (livelock guard — must match ops/fss.py).
+        flip = (act * (jnp.sign(beta_star) != theta).astype(jnp.float32)
+                * (beta != 0.0).astype(jnp.float32))
         denom = beta - beta_star
         safe = jnp.where((flip > 0.5) & (denom != 0.0), denom, 1.0)
         t_k = jnp.where(flip > 0.5, beta / safe, 1.0)
@@ -164,7 +181,7 @@ def feature_sign_pallas(
     grad = 0, no violations -> converged after one step.
     """
     K, M = xty.shape
-    BM = min(block, max(128, 1 << (M - 1).bit_length()))
+    BM = _auto_block(K, block, M, big_tensors=3)  # xtx x2 (pipeline) + GJ scratch
     Mp = ((M + BM - 1) // BM) * BM
     if Mp != M:
         pad = Mp - M

@@ -122,7 +122,15 @@ def feature_sign_batched(
         beta_star = _masked_solve(A, st.active.T, rhs.T).T       # (K, M)
 
         # --- line search to the first sign crossing ---
-        flip = st.active & (jnp.sign(beta_star) != st.theta)
+        # Just-activated coordinates (active with beta exactly 0 — only the
+        # KKT pick below creates that combination) are exempt from the flip
+        # set: they sit AT zero, so a guessed-sign mismatch in the solve
+        # would give a crossing time t_k = 0, forcing a zero step that
+        # deactivates them again — a deterministic livelock re-picking the
+        # same violator every outer step.  Classical FSS likewise lets the
+        # fresh coordinate move on its first solve; theta is re-derived from
+        # the realized sign afterwards.
+        flip = st.active & (jnp.sign(beta_star) != st.theta) & (st.beta != 0.0)
         denom = st.beta - beta_star
         safe = jnp.where(flip & (denom != 0.0), denom, 1.0)
         t_k = jnp.where(flip, st.beta / safe, 1.0)               # (K, M)
@@ -133,8 +141,12 @@ def feature_sign_batched(
         beta_new = jnp.where(
             move, st.beta + t[None, :] * (beta_star - st.beta), st.beta
         )
-        # Coordinates that crossed at t: exact zero, deactivate.
-        crossed = flip & (t_k <= t[None, :]) & (t[None, :] < 1.0)
+        # Coordinates that crossed at t: exact zero, deactivate.  Frozen
+        # (converged) columns are excluded — their beta did not move, so a
+        # near-zero active coordinate must not be re-zeroed (matches the
+        # kernel's `live` guard, kernels/fss_pallas.py).
+        crossed = (flip & (t_k <= t[None, :]) & (t[None, :] < 1.0)
+                   & (~st.converged)[None, :])
         beta_new = jnp.where(crossed, 0.0, beta_new)
         active_new = st.active & (~crossed) & (beta_new != 0.0)
         theta_new = jnp.where(active_new, jnp.sign(beta_new), 0.0)

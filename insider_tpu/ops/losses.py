@@ -33,7 +33,17 @@ class EvalSums(NamedTuple):
 
 
 def evaluate_masked(residual, train_mask, test_mask) -> EvalSums:
-    """Masked train/test SSE (src/utils.cpp:64-67)."""
+    """Masked train/test SSE (src/utils.cpp:64-67).
+
+    Masks may be stored uint8 (memory-lean mode); cast to the residual dtype
+    so the counts don't overflow and the products fuse — everything here is
+    elementwise+reduce, so XLA never materializes the f32 copy.
+    """
+    dt = residual.dtype
+    if train_mask.dtype != dt:
+        train_mask = train_mask.astype(dt)
+    if test_mask.dtype != dt:
+        test_mask = test_mask.astype(dt)
     tr = precise.sum_squares_ds(residual * train_mask)
     te = precise.sum_squares_ds(residual * test_mask)
     return EvalSums(tr, te, jnp.sum(train_mask), jnp.sum(test_mask))

@@ -54,11 +54,13 @@ def shard_problem_arrays(
     codes: List[np.ndarray],
     ctns: Optional[np.ndarray],
     dtype,
+    mask_dtype=None,
 ):
     mat = P("rows", "cols")
+    mdt = dtype if mask_dtype is None else mask_dtype
     data_d = _put(data, mesh, mat, dtype)
-    train_d = _put(train_mask, mesh, mat, dtype)
-    test_d = _put(test_mask, mesh, mat, dtype)
+    train_d = _put(train_mask, mesh, mat, mdt)
+    test_d = _put(test_mask, mesh, mat, mdt)
     codes_d = [_put(c, mesh, P("rows")) for c in codes]
     ctns_d = None if ctns is None else _put(ctns, mesh, P("rows", None), dtype)
     return data_d, train_d, test_d, codes_d, ctns_d

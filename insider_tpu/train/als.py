@@ -165,41 +165,12 @@ class Problem:
         return self.arrays.test_mask
 
 
-def build_problem(
-    data: np.ndarray,
-    confounder: np.ndarray,
-    train_indicator: np.ndarray,
-    test_indicator: np.ndarray,
-    ctns_confounder: Optional[np.ndarray] = None,
-    masked: bool = True,
-    dtype=jnp.float32,
-    sharding: Optional[ShardingConfig] = None,
-) -> Problem:
-    """Stage host arrays onto devices.
-
-    confounder: (N, C) integer level codes per discrete confounder (any
-    integer labels; densified per column like the reference's `unique()`
-    indexing, src/optimize.cpp:296-313).
-    """
-    confounder = np.asarray(confounder)
-    codes_np, n_levels = [], []
-    for c in range(confounder.shape[1]):
-        levels, inv = np.unique(confounder[:, c], return_inverse=True)
-        codes_np.append(inv.astype(np.int32))
-        n_levels.append(int(levels.size))
-
-    mesh = make_mesh(sharding) if sharding is not None else None
-    data_d, train_d, test_d, codes_d, ctns_d = shard_problem_arrays(
-        mesh,
-        np.asarray(data, np.float32),
-        np.asarray(train_indicator, np.float32),
-        np.asarray(test_indicator, np.float32),
-        codes_np,
-        None if ctns_confounder is None else np.asarray(ctns_confounder, np.float32),
-        dtype,
-    )
-    pre = _precompute_row_constants(data_d, train_d, codes_d,
-                                    tuple(n_levels), ctns_d, masked)
+def _finish_problem(data_d, train_d, test_d, codes_d, ctns_d, n_levels,
+                    masked, mesh, precompute=True) -> Problem:
+    pre = None
+    if precompute:
+        pre = _precompute_row_constants(data_d, train_d, codes_d,
+                                        tuple(n_levels), ctns_d, masked)
     return Problem(
         arrays=ProblemArrays(
             data=data_d,
@@ -215,6 +186,115 @@ def build_problem(
     )
 
 
+def build_problem(
+    data: np.ndarray,
+    confounder: np.ndarray,
+    train_indicator: np.ndarray,
+    test_indicator: np.ndarray,
+    ctns_confounder: Optional[np.ndarray] = None,
+    masked: bool = True,
+    dtype=jnp.float32,
+    sharding: Optional[ShardingConfig] = None,
+    mask_dtype=None,
+    precompute: bool = True,
+) -> Problem:
+    """Stage host arrays onto devices.
+
+    confounder: (N, C) integer level codes per discrete confounder (any
+    integer labels; densified per column like the reference's `unique()`
+    indexing, src/optimize.cpp:296-313).
+    mask_dtype: storage dtype of the indicator matrices.  uint8 quarters the
+    persistent mask footprint (the memory-lean mode for the synthetic
+    BASELINE configs); masks are cast to the compute dtype inside jit where
+    a matmul needs them (one fused/transient copy per iteration).
+    """
+    confounder = np.asarray(confounder)
+    codes_np, n_levels = [], []
+    for c in range(confounder.shape[1]):
+        levels, inv = np.unique(confounder[:, c], return_inverse=True)
+        codes_np.append(inv.astype(np.int32))
+        n_levels.append(int(levels.size))
+
+    mesh = make_mesh(sharding) if sharding is not None else None
+    data_d, train_d, test_d, codes_d, ctns_d = shard_problem_arrays(
+        mesh,
+        np.asarray(data, np.float32),
+        train_indicator,
+        test_indicator,
+        codes_np,
+        None if ctns_confounder is None else np.asarray(ctns_confounder, np.float32),
+        dtype,
+        mask_dtype=mask_dtype,
+    )
+    return _finish_problem(data_d, train_d, test_d, codes_d, ctns_d,
+                           n_levels, masked, mesh, precompute=precompute)
+
+
+def build_problem_distributed(
+    data,
+    train_indicator,
+    test_indicator,
+    codes,
+    n_levels: Tuple[int, ...],
+    global_shape: Tuple[int, int],
+    sharding: ShardingConfig,
+    ctns_confounder=None,
+    n_ctns: int = 0,
+    masked: bool = True,
+    dtype=jnp.float32,
+    mask_dtype=None,
+    precompute: bool = True,
+) -> Problem:
+    """Build a globally-sharded Problem WITHOUT any process materializing
+    the full matrix (BASELINE.json configs 4-5; the reference is a single
+    in-RAM process, src/Makevars:11-13, so this subsystem is new).
+
+    Each of data / train_indicator / test_indicator (and ctns_confounder)
+    is either
+      * this process's local block, covering exactly
+        sharding.distributed.process_block(mesh, P('rows','cols'), shape) —
+        assembled with jax.make_array_from_process_local_data; or
+      * a callable cb(index: tuple[slice, ...]) -> numpy block, invoked once
+        per addressable device shard — so no allocation ever exceeds one
+        shard (for matrices bigger than host RAM).
+
+    codes: list of per-confounder level codes — local (row-block) arrays or
+    callables like above; they must already be densified to [0, n_levels[v])
+    GLOBALLY (a local np.unique would renumber levels inconsistently across
+    hosts).  n_levels is therefore explicit.
+    """
+    from jax.sharding import PartitionSpec as P
+
+    from insider_tpu.sharding.distributed import (
+        make_global_array,
+        make_global_array_from_callback,
+    )
+
+    mesh = make_mesh(sharding)
+    N, M = global_shape
+    np_f = np.dtype(jnp.dtype(dtype).name)
+    np_m = np_f if mask_dtype is None else np.dtype(jnp.dtype(mask_dtype).name)
+
+    def _to_global(x, spec, shape, np_dtype):
+        if x is None:
+            return None
+        if callable(x):
+            return make_global_array_from_callback(shape, mesh, spec, x,
+                                                   np_dtype=np_dtype)
+        return make_global_array(np.asarray(x, np_dtype), mesh, spec,
+                                 global_shape=shape)
+
+    mat = P("rows", "cols")
+    data_d = _to_global(data, mat, (N, M), np_f)
+    train_d = _to_global(train_indicator, mat, (N, M), np_m)
+    test_d = _to_global(test_indicator, mat, (N, M), np_m)
+    codes_d = [_to_global(c, P("rows"), (N,), np.int32) for c in codes]
+    ctns_d = _to_global(ctns_confounder, P("rows", None), (N, n_ctns), np_f)
+    return _finish_problem(data_d, train_d, test_d, codes_d, ctns_d,
+                           list(n_levels), masked, mesh,
+                           precompute=precompute)
+
+
 # Memory budget for the one-hot fast path: skip it for a confounder whose
 # E or level-sum matrices would exceed these byte counts.
 _FAST_E_BYTES = 256 * 1024 * 1024
@@ -227,6 +307,8 @@ def _precompute_row_constants(data, mask, codes, n_levels, ctns, masked
 
     N, M = data.shape
     HI = HIGHEST
+    if mask.dtype != data.dtype:
+        mask = mask.astype(data.dtype)
     e, mw, d, counts = [], [], [], []
     wx = mask * data if masked else None
     for c, L in zip(codes, n_levels):
@@ -275,6 +357,10 @@ def _als_iteration(arrays: ProblemArrays, statics: ProblemStatics,
     """One full ALS iteration (src/optimize.cpp:325-379)."""
     F = state.column_factor
     mask = arrays.train_mask
+    if mask.dtype != F.dtype:
+        # uint8 (memory-lean) masks: one in-jit cast per iteration; XLA
+        # reuses the converted buffer across the matmuls that need it.
+        mask = mask.astype(F.dtype)
     masked = statics.masked
 
     gram = jnp.matmul(F, F.T, precision=HIGHEST)
@@ -421,6 +507,10 @@ class OptimizeResult:
     n_iter: int
     history: List[dict]
     state: InsiderState
+    # True when the run was aborted because the loss went NaN/Inf (the
+    # reference only *warns*, R/utils.R:126-128, and its stop test is False
+    # for NaN so a diverged run would silently burn max_iter; we abort).
+    diverged: bool = False
 
 
 def optimize(
@@ -502,6 +592,10 @@ def optimize(
     m = do_eval(state)
     loss = m["loss"]
     emit({"iter": -1, **m, "elapsed_s": time.time() - t0})
+    diverged = not np.isfinite(loss)
+    if diverged:
+        logger.warning("infinite or missing values in loss at init; "
+                       "aborting (reference warns: R/utils.R:126-128)")
 
     step_statics = StepStatics.from_config(config)
     hypers = Hypers(
@@ -513,7 +607,7 @@ def optimize(
     decay = 1.0
     it = start_iter
     converged = False
-    while it <= config.max_iter:
+    while (not diverged) and it <= config.max_iter:
         # Advance to the end of the next check boundary (iterations it .. b).
         boundary = it if it % config.check_every == 0 else (
             (it // config.check_every + 1) * config.check_every
@@ -541,6 +635,15 @@ def optimize(
             "iter": boundary, **m, "delta_loss": delta_loss, "decay": decay,
             "elapsed_s": time.time() - t0,
         })
+        if not np.isfinite(loss):
+            # The reference's stop test is False for NaN (R/utils.R:119-130
+            # only warns), so a diverged run would spin to max_iter; abort
+            # within one check boundary instead.
+            diverged = True
+            logger.warning(
+                "infinite or missing values in loss at iter %d; aborting "
+                "(reference warns: R/utils.R:126-128)", boundary)
+            break
         if checkpoint_path:
             from insider_tpu.checkpoint import save_checkpoint
 
@@ -564,4 +667,5 @@ def optimize(
         n_iter=it - 1,
         history=history,
         state=state,
+        diverged=diverged,
     )

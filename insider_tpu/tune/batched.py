@@ -75,34 +75,51 @@ def run_batched_trials(
     global_tol: float,
     sub_tol: float,
     seeds: Sequence[int],
+    check_every: int = 10,
+    states=None,
 ) -> List[dict]:
     """Run all grid points of one rank simultaneously.
 
     Returns one dict per grid point: {lambda, alpha, train_rmse, test_rmse,
-    loss, n_iter}.
+    loss, n_iter, diverged}.  A trial whose loss goes NaN/Inf is killed at
+    the next check boundary (marked diverged; the rest of the batch keeps
+    running) — the per-grid-point analog of the driver's divergence abort.
+
+    check_every: convergence-check cadence (src/optimize.cpp:381's
+    `iter % 10`, configurable like FitConfig.check_every).
+    states: optional pre-stacked initial states (leading axis G); defaults
+    to fresh per-seed N(0, 0.001^2) inits.
     """
     G = len(grid)
     M = problem.shape[1]
     arrays, statics = problem.arrays, problem.statics
     n_ctns = 0 if problem.ctns is None else problem.ctns.shape[1]
 
-    states = _stack_states([
-        init_state(jax.random.PRNGKey(s), problem.n_levels, M, rank,
-                   n_ctns=n_ctns)
-        for s in seeds
-    ])
-    lam = jnp.asarray([g[0] for g in grid], jnp.float32)
-    alpha = jnp.asarray([g[1] for g in grid], jnp.float32)
-    hypers = als.Hypers(lam1=lam, lam2=lam, alpha=alpha)
+    if states is None:
+        states = _stack_states([
+            init_state(jax.random.PRNGKey(s), problem.n_levels, M, rank,
+                       n_ctns=n_ctns)
+            for s in seeds
+        ])
+    lam = np.asarray([g[0] for g in grid], np.float32)
+    alpha = np.asarray([g[1] for g in grid], np.float32)
+    hypers = als.Hypers(lam1=jnp.asarray(lam), lam2=jnp.asarray(lam),
+                        alpha=jnp.asarray(alpha))
     # alpha==0 trials inside a CD batch would need the ridge dispatch; batch
     # them separately (caller splits the grid).
-    assert all(g[1] > 0 for g in grid) or all(g[1] == 0 for g in grid)
+    if not (all(g[1] > 0 for g in grid) or all(g[1] == 0 for g in grid)):
+        raise ValueError(
+            "grid mixes alpha == 0 (ridge dispatch) with alpha > 0 (CD) "
+            "trials; split it into separate batches")
     cfg = FitConfig(latent_dim=rank, alpha=float(alpha[0]), masked=True,
                     use_pallas=False)
     step_statics = als.StepStatics.from_config(cfg)
 
     def eval_all(states):
         evs, regs = _batched_eval(arrays, statics, states)
+        # ONE device->host transfer for the whole batch, then finalize each
+        # trial from the host copies (was: G x 7 scalar pulls per boundary).
+        evs, regs = jax.device_get((evs, regs))
         out = []
         for g in range(G):
             ev = jax.tree.map(lambda x: x[g], evs)
@@ -116,12 +133,16 @@ def run_batched_trials(
     metrics = eval_all(states)
     loss = np.array([m["loss"] for m in metrics])
     decay = np.ones(G)
-    stopped = np.zeros(G, bool)
+    diverged = ~np.isfinite(loss)
+    stopped = diverged.copy()
     stop_iter = np.full(G, tuning_iter)
+    stop_iter[diverged] = 0
 
     it = 0
-    while it <= tuning_iter:
-        boundary = it if it % 10 == 0 else (it // 10 + 1) * 10
+    while (not stopped.all()) and it <= tuning_iter:
+        boundary = it if it % check_every == 0 else (
+            (it // check_every + 1) * check_every
+        )
         boundary = min(boundary, tuning_iter)
         n = boundary - it + 1
         sub_tols = jnp.asarray(sub_tol * decay, jnp.float32)
@@ -134,9 +155,15 @@ def run_batched_trials(
         loss = np.array([m["loss"] for m in metrics])
         delta = pre - loss
         decay = np.array([decay_from_delta_loss(d) for d in delta])
-        newly = (~stopped) & ((pre - loss) / pre < global_tol)
+        newly_diverged = (~stopped) & (~np.isfinite(loss))
+        diverged |= newly_diverged
+        stop_iter[newly_diverged] = boundary
+        with np.errstate(invalid="ignore"):
+            newly = (~stopped) & np.isfinite(loss) & (
+                (pre - loss) / pre < global_tol
+            )
         stop_iter[newly] = boundary
-        stopped |= newly
+        stopped |= newly | newly_diverged
         if stopped.all() or boundary >= tuning_iter:
             break
 
@@ -148,6 +175,7 @@ def run_batched_trials(
             "test_rmse": metrics[g]["test_rmse"],
             "loss": metrics[g]["loss"],
             "n_iter": int(stop_iter[g]),
+            "diverged": bool(diverged[g]),
         }
         for g in range(G)
     ]
