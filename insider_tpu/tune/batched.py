@@ -30,13 +30,85 @@ import numpy as np
 from jax import lax
 
 from insider_tpu.config import FitConfig, decay_from_delta_loss
-from insider_tpu.model.state import init_state
+from insider_tpu.model.state import InsiderState, init_state
 from insider_tpu.ops import losses
 from insider_tpu.train import als
 
 
 def _stack_states(states):
     return jax.tree.map(lambda *xs: jnp.stack(xs), *states)
+
+
+def pad_state_rank(state: InsiderState, k_max: int) -> InsiderState:
+    """Zero-pad a rank-r state to latent dimension k_max.
+
+    Padded coordinates are exact fixed points of every ALS update, so the
+    padded trial computes the rank-r trajectory exactly:
+      * row side — XtX has zero rows/columns at padded coords (the padded F
+        rows are zero) and the ridge adds lam > 0 to the diagonal, so the
+        normal equations decouple and solve to exactly 0 there (rhs is 0);
+      * column side — Xty rows at padded coords are 0 (padded R columns are
+        zero), so ridge gives 0 and CD/FSS keep them inactive (u = 0 under
+        the soft-threshold; KKT gradient is exactly 0).
+    This is the device-batched stage-1 rank sweep's padding scheme
+    (the serial reference loops ranks one at a time, R/insider.R:100-131).
+    """
+    r = state.latent_dim
+    if r == k_max:
+        return state
+    if r > k_max:
+        raise ValueError(f"rank {r} > k_max {k_max}")
+    pad = k_max - r
+    cfd = [jnp.pad(f, ((0, 0), (0, pad))) for f in state.cfd_factors]
+    ctns = (None if state.ctns_factor is None
+            else jnp.pad(state.ctns_factor, ((0, 0), (0, pad))))
+    F = jnp.pad(state.column_factor, ((0, pad), (0, 0)))
+    return InsiderState(cfd, ctns, F, state.key)
+
+
+def run_batched_rank_trials(
+    problem: als.Problem,
+    ranks: Sequence[int],
+    lam: float,
+    alpha: float,
+    tuning_iter: int,
+    global_tol: float,
+    sub_tol: float,
+    seeds: Sequence[int],
+    check_every: int = 10,
+) -> List[dict]:
+    """Stage-1 rank sweep, all ranks in ONE batched program.
+
+    Each trial initializes at its own rank r (same N(0, 0.001^2) draws as
+    the serial path under the same seed) and is zero-padded to max(ranks);
+    padding is exact (see pad_state_rank), so per-rank results match the
+    serial sweep up to vectorization-order float effects.
+
+    Requires lam > 0 (the padded row-side solve needs the ridge on the
+    diagonal); the reference's stage-1 always uses lambda=0.1
+    (R/insider.R:120-121).
+    """
+    if not lam > 0.0:
+        raise ValueError("batched rank sweep requires lambda > 0 "
+                         "(padded coordinates need the ridge diagonal)")
+    k_max = int(max(ranks))
+    M = problem.shape[1]
+    n_ctns = 0 if problem.ctns is None else problem.ctns.shape[1]
+    states = _stack_states([
+        pad_state_rank(
+            init_state(jax.random.PRNGKey(s), problem.n_levels, M, int(r),
+                       n_ctns=n_ctns),
+            k_max,
+        )
+        for r, s in zip(ranks, seeds)
+    ])
+    grid = [(float(lam), float(alpha))] * len(ranks)
+    out = run_batched_trials(problem, k_max, grid, tuning_iter, global_tol,
+                             sub_tol, seeds, check_every=check_every,
+                             states=states)
+    for r, o in zip(ranks, out):
+        o["rank"] = int(r)
+    return out
 
 
 @partial(jax.jit, static_argnums=(1, 2, 5))

@@ -92,16 +92,37 @@ def tune(obj, latent_dimension, lambda_=0.1, alpha=0.0, out_dir=".",
     rank_tuning: List[list] = []
     rank_csv = os.path.join(out_dir, "insider_rank_tuning_result.csv")
     if len(ranks) > 1:
-        for t, rank in enumerate(ranks):
-            if will_reg_sweep:
-                lam_t, alpha_t = 0.1, 0.0      # R/insider.R:120-121
-            else:
-                lam_t, alpha_t = lambdas[0], alphas[0]
-            res = _run_trial(problem, obj, rank, lam_t, alpha_t,
-                             trial_seed=obj.seed + t, tuning_iter=tuning_iter)
-            row = [rank, res.train_rmse, res.test_rmse]
-            rank_tuning.append(row)
-            _append_csv(rank_csv, ["latent_rank", "train_rmse", "test_rmse"], row)
+        if will_reg_sweep:
+            lam_t, alpha_t = 0.1, 0.0          # R/insider.R:120-121
+        else:
+            lam_t, alpha_t = lambdas[0], alphas[0]
+        if batch_grid and lam_t > 0.0:
+            # Device-batched rank sweep: ranks padded to a shared K and run
+            # as one vmapped program per chunk (tune/batched.py).
+            from insider_tpu.tune.batched import run_batched_rank_trials
+
+            for s in range(0, len(ranks), batch_size):
+                chunk = ranks[s:s + batch_size]
+                out = run_batched_rank_trials(
+                    problem, chunk, lam_t, alpha_t, tuning_iter,
+                    obj.params["global_tol"], obj.params["sub_tol"],
+                    seeds=[obj.seed + s + i for i in range(len(chunk))],
+                )
+                for rank, r in zip(chunk, out):
+                    row = [rank, r["train_rmse"], r["test_rmse"]]
+                    rank_tuning.append(row)
+                    _append_csv(rank_csv,
+                                ["latent_rank", "train_rmse", "test_rmse"],
+                                row)
+        else:
+            for t, rank in enumerate(ranks):
+                res = _run_trial(problem, obj, rank, lam_t, alpha_t,
+                                 trial_seed=obj.seed + t,
+                                 tuning_iter=tuning_iter)
+                row = [rank, res.train_rmse, res.test_rmse]
+                rank_tuning.append(row)
+                _append_csv(rank_csv,
+                            ["latent_rank", "train_rmse", "test_rmse"], row)
 
     if len(ranks) > 1:
         best = int(np.argmin([r[2] for r in rank_tuning]))

@@ -112,6 +112,46 @@ def test_pallas_padding_tail_block():
     assert float(np.abs(op - oj).max()) < 1e-4
 
 
+@pytest.mark.parametrize("alpha", [0.4, 0.9, 1.0])
+@pytest.mark.parametrize("kappa", [1e2, 1e4, 1e6])
+def test_fss_kkt_slack_bounded_vs_cd(alpha, kappa):
+    """Stress the f32 KKT slack (kkt_rtol=1e-4): over a sweep of Gram
+    condition numbers, FSS's objective must never exceed CD-at-tight-tol's
+    on ANY column beyond f32 noise — i.e. the slack only ever admits
+    sub-resolution coordinates, never a materially sub-optimal sign pattern
+    (reference's strict f64 check: coordinate_descent.cpp:118-124)."""
+    K, M = 12, 256
+    rng = np.random.default_rng(int(kappa) % 7919 + int(alpha * 10))
+    # Controlled-conditioning SPD Grams: Q diag(lambda) Q^T with eigenvalues
+    # log-spaced over [1/kappa, 1], plus per-column jitter.
+    evals = np.logspace(0, -np.log10(kappa), K)
+    XtX = np.empty((M, K, K))
+    for m in range(M):
+        Q, _ = np.linalg.qr(rng.normal(size=(K, K)))
+        XtX[m] = (Q * evals) @ Q.T
+    Xty = rng.normal(size=(K, M)) * 2
+    beta0 = (rng.normal(size=(K, M)) * 0.1).astype(np.float32)
+    lam = 0.05  # weak ridge: the hard regime for conditioning
+    XtX_j = jnp.asarray(XtX, jnp.float32)
+    Xty_j = jnp.asarray(Xty, jnp.float32)
+
+    bf, outers = feature_sign_batched(XtX_j, Xty_j, jnp.asarray(beta0),
+                                      lam, alpha, max_outer=128)
+    assert int(outers) < 128  # every column converged (no livelock)
+    bc, _, _ = elastic_net_cd(XtX_j, Xty_j, jnp.asarray(beta0), lam, alpha,
+                              jnp.float32(1e-13), jax.random.PRNGKey(0), 5000)
+    of = _objective(bf, XtX, Xty, lam, alpha)
+    oc = _objective(bc, XtX, Xty, lam, alpha)
+    # Per-column: FSS never worse than CD beyond f32 solve noise, which
+    # scales with the column objective magnitude.
+    tol = 1e-4 * (1.0 + np.abs(oc))
+    worst = float(np.max(of - oc - tol))
+    assert worst <= 0.0, (
+        f"FSS objective exceeds CD on {int(np.sum(of > oc + tol))} columns; "
+        f"worst excess {np.max(of - oc):.3e} (kappa={kappa}, alpha={alpha})"
+    )
+
+
 def test_update_columns_fss_dispatch():
     rng = np.random.default_rng(11)
     N, M, K = 60, 257, 7
