@@ -69,6 +69,18 @@ class FitConfig:
     # solve; sign patterns are finite so termination is guaranteed, this is
     # a jit-safety bound).
     max_fss_outer: int = 48
+    # Run a short plain-CD pass (no screening, warm-started from the FSS
+    # solution, at the driver's effective sub_tol) after each FSS column
+    # update.  FSS terminates under an f32-relative KKT slack (ops/fss.py
+    # kkt_rtol) that can leave a boundary coordinate inactive with a
+    # per-column objective excess up to ~1e-3 relative on ill-scaled columns
+    # (measured: TPU_SELFCHECK_r02); the polish soft-thresholds every
+    # coordinate, so the returned solution additionally satisfies the
+    # reference CD's own stopping criterion (coordinate_descent.cpp:112-114).
+    fss_polish: bool = True
+    # Sweep cap for the polish pass (from a near-optimum it converges in a
+    # handful of sweeps).
+    max_fss_polish_sweeps: int = 32
 
     @property
     def sub_tol_decay_ladder(self) -> Tuple[float, ...]:

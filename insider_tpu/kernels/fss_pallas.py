@@ -50,7 +50,7 @@ def _auto_block(K: int, block: int, M: int, big_tensors: int) -> int:
 
 def _fss_kernel(fscal_ref, xtx_ref, xty_ref, beta0_ref, out_ref,
                 u_s, rhs_s, theta_s, act_s, conv_s,
-                *, K: int, max_outer: int):
+                *, K: int, max_outer: int, polish_sweeps: int = 0):
     lam = fscal_ref[0]
     alpha = fscal_ref[1]
     l1 = lam * alpha
@@ -160,9 +160,60 @@ def _fss_kernel(fscal_ref, xtx_ref, xty_ref, beta0_ref, out_ref,
 
     lax.while_loop(cond, outer_body, (jnp.int32(0), jnp.bool_(False)))
 
+    if polish_sweeps > 0:
+        # Fused plain-CD polish (see FitConfig.fss_polish): soft-threshold
+        # sweeps from the FSS solution while the Gram block is still in
+        # VMEM — removes the f32 KKT-slack objective excess at no extra HBM
+        # traffic.  Same arithmetic as kernels/cd_pallas.py with all
+        # coordinates active; per-column do-while stop on sweep decrease
+        # <= tol (coordinate_descent.cpp:112-114).
+        tol = fscal_ref[2]
+        beta = out_ref[:]
+        # reuse scratch: act_s <- diag, rhs_s <- s = XtX @ beta
+        act_s[:] = jnp.concatenate(
+            [xtx_ref[k, k, :][None] for k in range(K)], axis=0
+        )
+        rhs_s[:] = jnp.sum(xtx_ref[:] * beta[None, :, :], axis=1)
+        conv_s[:] = jnp.zeros((1, BM), jnp.float32)
+
+        def polish_body(carry):
+            sweep, _ = carry
+            conv = conv_s[:]
+            dec = jnp.zeros((1, BM), jnp.float32)
+            for k in range(K):
+                d = act_s[k:k + 1, :]
+                b_k = out_ref[k:k + 1, :]
+                u = xty_ref[k:k + 1, :] - rhs_s[k:k + 1, :] + b_k * d
+                denom = d + l2
+                denom = jnp.where(denom > 0.0, denom, 1.0)
+                w = (jnp.sign(u) * jnp.maximum(jnp.abs(u) - l1, 0.0)
+                     / denom)
+                w = jnp.where(conv > 0.5, b_k, w)
+                delta = w - b_k
+                # cancellation-free decrease (see cd_pallas.py)
+                xi = jnp.where(
+                    w != 0.0, jnp.sign(w),
+                    jnp.clip(u / jnp.maximum(l1, 1e-30), -1.0, 1.0),
+                )
+                dec = dec + (0.5 * denom * delta * delta
+                             + l1 * (jnp.abs(b_k) - xi * b_k))
+                rhs_s[:] = rhs_s[:] + xtx_ref[k] * delta
+                out_ref[k:k + 1, :] = w
+            conv_s[:] = jnp.maximum(
+                conv, (jnp.abs(dec) <= tol).astype(jnp.float32))
+            return sweep + 1, jnp.min(conv_s[:]) >= 0.5
+
+        def polish_cond(carry):
+            sweep, done = carry
+            return jnp.logical_not(done) & (sweep < polish_sweeps)
+
+        lax.while_loop(polish_cond, polish_body,
+                       (jnp.int32(0), jnp.bool_(False)))
+
 
 @functools.partial(
-    jax.jit, static_argnames=("max_outer", "block", "interpret"),
+    jax.jit,
+    static_argnames=("max_outer", "block", "interpret", "polish_sweeps"),
 )
 def feature_sign_pallas(
     xtx: jax.Array,      # (K, K, M) per-column Grams (gene axis last)
@@ -173,12 +224,17 @@ def feature_sign_pallas(
     max_outer: int = 48,
     block: int = DEFAULT_BLOCK,
     interpret: bool = False,
+    polish_sweeps: int = 0,
+    tol=0.0,
 ):
     """Exact batched elastic-net solves via the FSS kernel.  Returns beta.
 
     Requires alpha > 0; the caller dispatches alpha == 0 to the batched
     ridge solve.  Padded tail columns have zero Grams/rhs: beta stays 0,
     grad = 0, no violations -> converged after one step.
+
+    polish_sweeps > 0 appends fused plain-CD sweeps at tolerance `tol`
+    (see FitConfig.fss_polish).
     """
     K, M = xty.shape
     BM = _auto_block(K, block, M, big_tensors=3)  # xtx x2 (pipeline) + GJ scratch
@@ -190,9 +246,11 @@ def feature_sign_pallas(
         beta0 = jnp.pad(beta0, ((0, 0), (0, pad)))
 
     fscal = jnp.stack([jnp.asarray(lam, jnp.float32),
-                       jnp.asarray(alpha, jnp.float32)])
+                       jnp.asarray(alpha, jnp.float32),
+                       jnp.asarray(tol, jnp.float32)])
 
-    kernel = functools.partial(_fss_kernel, K=K, max_outer=max_outer)
+    kernel = functools.partial(_fss_kernel, K=K, max_outer=max_outer,
+                               polish_sweeps=polish_sweeps)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(Mp // BM,),

@@ -254,6 +254,8 @@ def update_columns_masked(
     mesh=None,                       # shard the CD kernel over mesh axis 'cols'
     solver: str = "cd",              # "cd" | "fss" (alpha > 0 only)
     max_fss_outer: int = 48,
+    fss_polish: bool = True,
+    max_fss_polish_sweeps: int = 32,
 ):
     """Masked (tuning==1) column update, src/optimize.cpp:203-230."""
     if alpha_is_zero is None:
@@ -270,11 +272,16 @@ def update_columns_masked(
         if use_pallas:
             from insider_tpu.kernels.fss_pallas import feature_sign_pallas
 
+            # Plain-CD polish fused into the kernel (removes FSS's f32
+            # KKT-slack objective excess and makes the result satisfy the
+            # reference CD's stopping criterion; see FitConfig.fss_polish).
             XtXt = col_gram_masked_t(R, mask)           # (K, K, M)
             F = _shard_cols(
                 mesh,
                 lambda xt, xy, b0: feature_sign_pallas(
-                    xt, xy, b0, lam, alpha, max_fss_outer),
+                    xt, xy, b0, lam, alpha, max_fss_outer,
+                    polish_sweeps=max_fss_polish_sweeps if fss_polish else 0,
+                    tol=tol),
                 XtXt, Xty, F_prev,
             )
             return F, key, jnp.int32(-2)
@@ -283,6 +290,10 @@ def update_columns_masked(
         XtX = col_gram_masked(R, mask)
         F, outers = feature_sign_batched(XtX, Xty, F_prev, lam, alpha,
                                          max_fss_outer)
+        if fss_polish:
+            F, key, _ = elastic_net_cd(XtX, Xty, F, lam, alpha, tol, key,
+                                       max_sweeps=max_fss_polish_sweeps,
+                                       use_strong_rule=False)
         return F, key, outers
     if use_pallas:
         from insider_tpu.kernels.cd_pallas import elastic_net_cd_pallas
@@ -321,6 +332,8 @@ def update_columns_dense(
     use_pallas: bool = False,
     solver: str = "cd",
     max_fss_outer: int = 48,
+    fss_polish: bool = True,
+    max_fss_polish_sweeps: int = 32,
 ):
     """Dense (tuning==0) column update, src/optimize.cpp:232-247."""
     if alpha_is_zero is None:
@@ -339,13 +352,20 @@ def update_columns_dense(
             from insider_tpu.kernels.fss_pallas import feature_sign_pallas
 
             XtXt = jnp.broadcast_to(XtX[:, :, None], (K, K, M))
-            F = feature_sign_pallas(XtXt, Xty, F_prev, lam, alpha,
-                                    max_fss_outer)
+            F = feature_sign_pallas(
+                XtXt, Xty, F_prev, lam, alpha, max_fss_outer,
+                polish_sweeps=max_fss_polish_sweeps if fss_polish else 0,
+                tol=tol)
             return F, key, jnp.int32(-2)
         from insider_tpu.ops.fss import feature_sign_batched
 
         F, outers = feature_sign_batched(XtX[None], Xty, F_prev, lam, alpha,
                                          max_fss_outer)
+        if fss_polish:
+            F, key, _ = elastic_net_cd(XtX[None], Xty, F, lam, alpha, tol,
+                                       key,
+                                       max_sweeps=max_fss_polish_sweeps,
+                                       use_strong_rule=False)
         return F, key, outers
     if use_pallas:
         from insider_tpu.kernels.cd_pallas import elastic_net_cd_pallas

@@ -96,10 +96,14 @@ class StepStatics:
     ctns_tol: float
     use_pallas: bool = False
     # "cd" (reference algorithm) or "fss" (exact active-set solves — the
-    # fast path; see ops/fss.py).  With fss the sub_tol decay ladder is a
-    # no-op: subproblems are solved to their exact optimum every iteration.
+    # fast path; see ops/fss.py).  With fss the sub_tol decay ladder only
+    # affects the polish pass: subproblems are solved to their exact
+    # (slack-bounded) optimum every iteration.
     col_solver: str = "fss"
     max_fss_outer: int = 48
+    # Plain-CD polish after FSS (see FitConfig.fss_polish).
+    fss_polish: bool = True
+    max_fss_polish_sweeps: int = 32
 
     @classmethod
     def from_config(cls, config: FitConfig):
@@ -122,6 +126,8 @@ class StepStatics:
             use_pallas=use_pallas,
             col_solver=solver,
             max_fss_outer=config.max_fss_outer,
+            fss_polish=config.fss_polish,
+            max_fss_polish_sweeps=config.max_fss_polish_sweeps,
         )
 
 
@@ -453,6 +459,8 @@ def _als_iteration(arrays: ProblemArrays, statics: ProblemStatics,
             mesh=statics.mesh,
             solver=step_statics.col_solver,
             max_fss_outer=step_statics.max_fss_outer,
+            fss_polish=step_statics.fss_polish,
+            max_fss_polish_sweeps=step_statics.max_fss_polish_sweeps,
         )
     else:
         F_new, key, _ = col_update.update_columns_dense(
@@ -462,6 +470,8 @@ def _als_iteration(arrays: ProblemArrays, statics: ProblemStatics,
             use_pallas=step_statics.use_pallas,
             solver=step_statics.col_solver,
             max_fss_outer=step_statics.max_fss_outer,
+            fss_polish=step_statics.fss_polish,
+            max_fss_polish_sweeps=step_statics.max_fss_polish_sweeps,
         )
     new_state = InsiderState(cfd_new, W, F_new, key)
     return apply_constraints(statics.mesh, new_state)

@@ -187,3 +187,65 @@ def test_als_with_fss_monotone_and_recovers():
     assert all(np.isfinite(losses))
     assert all(b <= a + 1e-6 * abs(a) for a, b in zip(losses, losses[1:]))
     assert res.test_rmse < 1.6  # noise_std=1.0 -> near-oracle RMSE
+
+
+def test_fss_polish_removes_kkt_slack_excess():
+    """update_columns_masked(solver='fss', fss_polish=True) must match the
+    tight-tol CD objective on every column — the polish exists to remove the
+    f32 KKT-slack excess measured on hardware (TPU_SELFCHECK_r02: up to
+    ~1e-3 relative pre-polish on ill-scaled columns)."""
+    rng = np.random.default_rng(11)
+    N, K, M = 80, 8, 150
+    R = rng.normal(size=(N, K)).astype(np.float32) * 3.0
+    data = (rng.normal(size=(N, M)) * 20.0).astype(np.float32)
+    mask = (rng.random((N, M)) < 0.9).astype(np.float32)
+    F0 = (rng.normal(size=(K, M)) * 0.1).astype(np.float32)
+    lam, alpha = 4.0, 0.5
+    key = jax.random.PRNGKey(0)
+
+    from insider_tpu.ops.col_update import col_gram_masked
+
+    def run(polish):
+        F, _, _ = update_columns_masked(
+            jnp.asarray(data), jnp.asarray(mask), jnp.asarray(R),
+            jnp.asarray(F0), lam, alpha, jnp.float32(1e-9), key,
+            max_sweeps=400, solver="fss", fss_polish=polish)
+        return F
+
+    XtX = col_gram_masked(jnp.asarray(R), jnp.asarray(mask))
+    Xty = jnp.matmul(R.T, mask * data)
+    F_pol = run(True)
+    bc, _, _ = elastic_net_cd(XtX, Xty, jnp.asarray(F0), lam, alpha,
+                              jnp.float32(1e-12), jax.random.PRNGKey(1),
+                              3000)
+    o_pol = _objective(F_pol, XtX, Xty, lam, alpha)
+    o_cd = _objective(bc, XtX, Xty, lam, alpha)
+    scale = np.maximum(np.abs(o_cd), 1.0)
+    assert float(np.max((o_pol - o_cd) / scale)) < 1e-5
+    # and the polish never makes things worse than raw FSS
+    F_raw = run(False)
+    o_raw = _objective(F_raw, XtX, Xty, lam, alpha)
+    assert float(np.max((o_pol - o_raw) / scale)) < 1e-7
+
+
+def test_pallas_fused_polish_matches_two_stage(monkeypatch):
+    """feature_sign_pallas(polish_sweeps>0) == FSS kernel + separate plain-CD
+    at the same tol (interpret mode)."""
+    XtX, Xty, beta0 = _problem(K=6, M=40, N=50, seed=5)
+    lam, alpha = 2.0, 0.6
+    tol = jnp.float32(1e-9)
+    XtXt = jnp.transpose(XtX, (1, 2, 0))
+    fused = feature_sign_pallas(XtXt, Xty, beta0, lam, alpha, max_outer=48,
+                                block=128, interpret=True,
+                                polish_sweeps=32, tol=tol)
+    raw = feature_sign_pallas(XtXt, Xty, beta0, lam, alpha, max_outer=48,
+                              block=128, interpret=True)
+    from insider_tpu.kernels.cd_pallas import elastic_net_cd_pallas
+    two = elastic_net_cd_pallas(XtXt, Xty, raw, lam, alpha, tol,
+                                max_sweeps=32, use_strong_rule=False,
+                                block=128, interpret=True)
+    np.testing.assert_allclose(np.asarray(fused), np.asarray(two),
+                               rtol=1e-5, atol=1e-6)
+    o_f = _objective(fused, XtX, Xty, lam, alpha)
+    o_r = _objective(raw, XtX, Xty, lam, alpha)
+    assert float(np.max(o_f - o_r)) < 1e-6  # polish never hurts
