@@ -40,9 +40,10 @@ class FitConfig:
     check_every: int = 10
     # Safety cap on CD sweeps inside one column update (the reference loops
     # unboundedly, coordinate_descent.cpp:82-114; we bound for jit safety).
+    # KKT reactivation (coordinate_descent.cpp:118-124) is folded into the
+    # same sweep loop (ops/col_update.elastic_net_cd), so this single cap
+    # bounds it too — there is deliberately no separate kkt-rounds knob.
     max_cd_sweeps: int = 200
-    # Safety cap on KKT reactivation rounds (coordinate_descent.cpp:118-124).
-    max_kkt_rounds: int = 8
     # Continuous-covariate CD stop: sum|delta w| < ctns_tol
     # (src/optimize.cpp:122) with a sweep cap for jit safety.
     ctns_tol: float = 1e-1
@@ -50,10 +51,10 @@ class FitConfig:
     # Init distribution N(0, init_std^2) (R/utils.R:40-43).
     init_std: float = 1e-3
     seed: int = 0
-    # Compute dtype for factors/data on device. Loss deltas are tracked with
-    # compensated (double-single) summation so f32 suffices for the reference's
-    # 1e-9-relative stopping rule; see ops/precise.py.
-    dtype: str = "float32"
+    # NOTE: compute dtype is a property of the Problem, not the fit — pass
+    # `dtype=`/`mask_dtype=` to als.build_problem.  Factors are f32; loss
+    # deltas use compensated (double-single) summation so f32 suffices for
+    # the reference's 1e-9-relative stopping rule (ops/precise.py).
     # Use the Pallas kernels for the column update. None = auto (TPU yes,
     # CPU no — the jnp path is the CPU/interpret reference).
     use_pallas: Optional[bool] = None

@@ -29,11 +29,14 @@ def _load() -> Optional[ctypes.CDLL]:
     if _lib is not None or _tried:
         return _lib
     _tried = True
-    if not os.path.exists(_SO):
-        try:
-            subprocess.run(["make", "-C", _NATIVE_DIR], check=True,
-                           capture_output=True, timeout=120)
-        except Exception:
+    # Always invoke make: it is a no-op when the .so is current and rebuilds
+    # it when insider_io.cpp changed (a stale .so would break the ABI the
+    # bindings below assume).
+    try:
+        subprocess.run(["make", "-C", _NATIVE_DIR], check=True,
+                       capture_output=True, timeout=120)
+    except Exception:
+        if not os.path.exists(_SO):
             return None
     try:
         lib = ctypes.CDLL(_SO)
@@ -49,6 +52,7 @@ def _load() -> Optional[ctypes.CDLL]:
         ctypes.c_char_p, ctypes.c_char, ctypes.c_int,
         ctypes.c_int64, ctypes.c_int64,
         ctypes.POINTER(ctypes.c_float),
+        ctypes.POINTER(ctypes.c_int64),
     ]
     lib.insider_log2p1.restype = None
     lib.insider_log2p1.argtypes = [ctypes.POINTER(ctypes.c_float),
@@ -68,9 +72,15 @@ def native_available() -> bool:
     return _load() is not None
 
 
-def load_csv(path: str, delim: str = ",", skip_header: bool = False
-             ) -> np.ndarray:
-    """Parse a numeric CSV/TSV into float32 (NaN for NA/empty)."""
+def load_csv(path: str, delim: str = ",", skip_header: bool = False,
+             strict: bool = True) -> np.ndarray:
+    """Parse a numeric CSV/TSV into float32 (NaN for NA/NaN/empty fields;
+    double-quoted fields unwrapped).
+
+    strict: raise ValueError when any field is neither numeric nor a
+    recognized NA token (e.g. "N5", "null") instead of silently reading it
+    as missing data (VERDICT r2 weak #7).
+    """
     lib = _load()
     if lib is None:
         return np.genfromtxt(path, delimiter=delim,
@@ -84,13 +94,19 @@ def load_csv(path: str, delim: str = ",", skip_header: bool = False
     if rc != 0:
         raise IOError(f"insider_csv_shape({path}) failed: {rc}")
     out = np.empty((rows.value, cols.value), np.float32)
+    bad = ctypes.c_int64()
     done = lib.insider_csv_parse(
         path.encode(), delim.encode(), int(skip_header),
         rows.value, cols.value,
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        ctypes.byref(bad),
     )
     if done != rows.value:
         raise IOError(f"insider_csv_parse parsed {done}/{rows.value} rows")
+    if strict and bad.value:
+        raise ValueError(
+            f"{path}: {bad.value} field(s) are neither numeric nor NA/NaN "
+            f"(pass strict=False to read them as missing)")
     return out
 
 

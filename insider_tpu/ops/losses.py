@@ -78,6 +78,30 @@ def regularization_sums(cfd_factors: List[jax.Array],
     )
 
 
+def pack_metrics(ev: EvalSums, reg: LossSums) -> jax.Array:
+    """Flatten all eval/reg partial sums into ONE (12,) f32 vector so a
+    check boundary costs a single device->host transfer (separate `float()`
+    pulls of the 12 scalars cost ~4 ms each over the TPU tunnel — measured
+    ~53 ms/boundary of pure transfer latency in tools/boundary_profile.py)."""
+    return jnp.stack([
+        ev.train_sse[0], ev.train_sse[1], ev.test_sse[0], ev.test_sse[1],
+        ev.n_train, ev.n_test,
+        reg.row_reg[0], reg.row_reg[1], reg.col_l2[0], reg.col_l2[1],
+        reg.col_l1[0], reg.col_l1[1],
+    ])
+
+
+def finalize_metrics_vec(vec, lambda1: float, lambda2: float, alpha: float,
+                         masked: bool) -> dict:
+    """Host-side finalize_loss on a pack_metrics vector (numpy, post-transfer)."""
+    import numpy as np
+
+    v = np.asarray(vec, np.float64)
+    ev = EvalSums((v[0], v[1]), (v[2], v[3]), v[4], v[5])
+    reg = LossSums((v[6], v[7]), (v[8], v[9]), (v[10], v[11]))
+    return finalize_loss(ev, reg, lambda1, lambda2, alpha, masked)
+
+
 def finalize_loss(ev: EvalSums, reg: LossSums, lambda1: float, lambda2: float,
                   alpha: float, masked: bool) -> dict:
     """Host-side f64 combination: the reference's printed quantities.

@@ -9,13 +9,15 @@ error-free transformations:
 
   * ``two_sum``  — Knuth's exact addition: a+b = s + e exactly.
   * ``two_prod`` — Dekker's exact product via 2^12+1 splitting (no FMA needed).
-  * a two-stage reduction: a ``fori_loop`` Neumaier-compensated pass over G
-    sequential steps of L vector lanes (constant-size graph regardless of n),
-    followed by a pairwise-TwoSum tree over the L lane partials.
+  * a fully-vectorized pairwise-TwoSum tree: fold contiguous halves with
+    two_sum, carrying an error vector that plain-sums the (tiny) residuals.
 
 Total error is O(n * eps^2) relative (~1e-8 even at n=1e9) — matching naive
-float64 accumulation.  All ops are elementwise (VPU-friendly) and cost ~1-2
-passes over the data.  Host-side finalization adds hi+lo in python float64.
+float64 accumulation.  All ops are elementwise (VPU-friendly) and cost ~2
+passes over the data; every tree level is one wide vector op (an earlier
+version used a sequential fori_loop carry, which cost ~40 ms per eval on the
+TPU-tunnel backend — ~50 device round-trip-latency steps; the tree is
+latency-free).  Host-side finalization adds hi+lo in python float64.
 """
 
 from __future__ import annotations
@@ -23,12 +25,10 @@ from __future__ import annotations
 import jax.numpy as jnp
 from jax import lax
 
-# Lane count of the sequential compensated stage.  The fori_loop steps are
-# sequential (the compensation carry is a dependency), so wall time is
-# (n / LANES) * step_latency: wide lanes matter more than per-step VPU
-# occupancy.  1<<18 keeps the ageing-scale eval at ~64 steps while the final
-# pairwise tree (log2 L halvings) still compiles instantly.
-_LANES = 1 << 18
+# Lane width of the tree's leaf level.  The flat input is reshaped to
+# (G, LANES) (one tiny pad), the tree first folds the G axis, then the lane
+# axis — padding never exceeds LANES + next_pow2(G) elements, independent of n.
+_LANES = 1 << 15
 
 
 def two_sum(a, b):
@@ -57,50 +57,55 @@ def two_prod(a, b):
     return p, e
 
 
-def _tree_sum2_lanes(s, c):
-    """Pairwise-TwoSum tree over lane partials (s, c), both (L,) with L a
-    power of two.  Returns scalar (hi, lo)."""
-    err = jnp.sum(c)  # compensation terms are tiny; plain sum suffices
-    while s.shape[0] > 1:
-        a, b = s[0::2], s[1::2]
-        s, e = two_sum(a, b)
-        err = err + jnp.sum(e)
-    return s[0], err
+def ds_add(ahi, alo, bhi, blo):
+    """Double-single addition (Dekker add2): (ahi+alo) + (bhi+blo) as a
+    renormalized (hi, lo) pair, error O(eps^2) relative per op."""
+    s, e = two_sum(ahi, bhi)
+    e = e + (alo + blo)
+    return two_sum(s, e)
+
+
+def _tree_fold(hi, lo, axis: int):
+    """Pairwise double-single tree along `axis` (length a power of two).
+    Every level is one wide vector op — no sequential carry — and each fold
+    is a full ds_add, so the error channel keeps O(eps^2) accuracy all the
+    way to the root (plain-adding the residuals loses ~eps·log n near the
+    top, where they are O(eps·total))."""
+    while hi.shape[axis] > 1:
+        h = hi.shape[axis] // 2
+        hi, lo = ds_add(
+            lax.slice_in_dim(hi, 0, h, axis=axis),
+            lax.slice_in_dim(lo, 0, h, axis=axis),
+            lax.slice_in_dim(hi, h, 2 * h, axis=axis),
+            lax.slice_in_dim(lo, h, 2 * h, axis=axis),
+        )
+    return hi, lo
 
 
 def _compensated_reduce(x, square: bool):
     """Sum (or sum of squares) of all elements of x with ~f64 accuracy.
 
-    Stage 1: reshape to (G, L); fori_loop over G with a Neumaier-compensated
-    (sum, comp) carry of L lanes.  The graph is O(1) in n.
-    Stage 2: TwoSum tree over the L lanes.
+    Reshape to (G, LANES) (pad < LANES), take the elementwise exact squares,
+    then TwoSum-tree-fold the G axis followed by the lane axis.  All levels
+    are contiguous-half folds: vectorized, fusion-friendly, ~2 passes of HBM
+    traffic total.
     """
     flat = x.reshape(-1).astype(jnp.float32)
     n = flat.shape[0]
-    L = min(_LANES, max(1, n))
-    # pad to a multiple of L, and L itself up to a power of two
-    Lp = 1
-    while Lp < L:
-        Lp *= 2
-    L = Lp
+    L = _LANES if n > _LANES else max(1, 1 << (n - 1).bit_length())
     G = -(-n // L)
-    if G * L != n:
-        flat = jnp.pad(flat, (0, G * L - n))
-    grid = flat.reshape(G, L)
+    Gp = 1 << (G - 1).bit_length()          # pad G up to a power of two
+    if Gp * L != n:
+        flat = jnp.pad(flat, (0, Gp * L - n))
+    grid = flat.reshape(Gp, L)
 
-    def body(g, carry):
-        s, c = carry
-        v = grid[g]
-        if square:
-            p, pe = two_prod(v, v)
-        else:
-            p, pe = v, jnp.zeros_like(v)
-        t, e = two_sum(s, p)
-        return t, c + (e + pe)
-
-    z = jnp.zeros((L,), jnp.float32)
-    s, c = lax.fori_loop(0, G, body, (z, z))
-    return _tree_sum2_lanes(s, c)
+    if square:
+        s, c = two_prod(grid, grid)
+    else:
+        s, c = grid, jnp.zeros_like(grid)
+    s, c = _tree_fold(s, c, axis=0)
+    s, c = _tree_fold(s, c, axis=1)
+    return s[0, 0], c[0, 0]
 
 
 def sum_squares_ds(x):

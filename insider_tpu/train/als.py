@@ -491,9 +491,8 @@ def _run_steps(arrays: ProblemArrays, statics: ProblemStatics,
     return lax.fori_loop(0, n_steps, body, state)
 
 
-@partial(jax.jit, static_argnums=(1,))
-def _evaluate(arrays: ProblemArrays, statics: ProblemStatics,
-              state: InsiderState):
+def _evaluate_impl(arrays: ProblemArrays, statics: ProblemStatics,
+                   state: InsiderState):
     R = _row_factor(arrays, state)
     residual = arrays.data - losses.predict(R, state.column_factor)
     if statics.masked:
@@ -504,6 +503,34 @@ def _evaluate(arrays: ProblemArrays, statics: ProblemStatics,
     reg = losses.regularization_sums(state.cfd_factors, state.ctns_factor,
                                      state.column_factor)
     return ev, reg
+
+
+_evaluate = partial(jax.jit, static_argnums=(1,))(_evaluate_impl)
+
+
+@partial(jax.jit, static_argnums=(1, 2), donate_argnums=(4,))
+def _run_steps_eval(arrays: ProblemArrays, statics: ProblemStatics,
+                    step_statics: StepStatics, hypers: Hypers,
+                    state: InsiderState, sub_tol_eff: jax.Array,
+                    n_steps: jax.Array):
+    """n_steps ALS iterations + the boundary eval in ONE device program.
+
+    The reference evaluates every 10 iterations (src/optimize.cpp:381-408);
+    issuing that eval as a separate program cost ~43 ms of dispatch + ~50 ms
+    of per-scalar transfers per boundary on the tunnel backend (VERDICT r2
+    missing #2, measured in tools/boundary_profile.py).  Fusing it into the
+    step chunk and packing the partial sums into one vector makes a boundary
+    one dispatch + one small transfer.  n_steps=0 serves the initial eval
+    (src/optimize.cpp:320-323) with the same executable.
+    """
+
+    def body(_, st):
+        return _als_iteration(arrays, statics, step_statics, hypers, st,
+                              sub_tol_eff)
+
+    state = lax.fori_loop(0, n_steps, body, state)
+    ev, reg = _evaluate_impl(arrays, statics, state)
+    return state, losses.pack_metrics(ev, reg)
 
 
 @dataclasses.dataclass
@@ -521,6 +548,10 @@ class OptimizeResult:
     # reference only *warns*, R/utils.R:126-128, and its stop test is False
     # for NaN so a diverged run would silently burn max_iter; we abort).
     diverged: bool = False
+    # True iff the relative-loss stop actually fired ((pre-loss)/pre <
+    # global_tol, src/optimize.cpp:405) — NOT inferred from n_iter, which
+    # conflates cap-exhaustion with convergence at the boundary (ADVICE r2).
+    converged: bool = False
 
 
 def optimize(
@@ -573,10 +604,9 @@ def optimize(
 
     arrays, statics = problem.arrays, problem.statics
 
-    def do_eval(st):
-        ev, reg = _evaluate(arrays, statics, st)
-        return losses.finalize_loss(
-            ev, reg, config.lambda1, config.lambda2, config.alpha,
+    def finalize(metrics_vec):
+        return losses.finalize_metrics_vec(
+            metrics_vec, config.lambda1, config.lambda2, config.alpha,
             statics.masked,
         )
 
@@ -598,21 +628,26 @@ def optimize(
         if progress_callback:
             progress_callback(rec)
 
-    t0 = time.time()
-    m = do_eval(state)
-    loss = m["loss"]
-    emit({"iter": -1, **m, "elapsed_s": time.time() - t0})
-    diverged = not np.isfinite(loss)
-    if diverged:
-        logger.warning("infinite or missing values in loss at init; "
-                       "aborting (reference warns: R/utils.R:126-128)")
-
     step_statics = StepStatics.from_config(config)
     hypers = Hypers(
         lam1=jnp.float32(config.lambda1),
         lam2=jnp.float32(config.lambda2),
         alpha=jnp.float32(config.alpha),
     )
+
+    t0 = time.time()
+    # Initial eval (src/optimize.cpp:320-323) via the fused chunk with
+    # n_steps=0: same executable as every boundary, one compile total.
+    state, metrics = _run_steps_eval(
+        arrays, statics, step_statics, hypers, state,
+        jnp.float32(config.sub_tol), jnp.int32(0))
+    m = finalize(metrics)
+    loss = m["loss"]
+    emit({"iter": -1, **m, "elapsed_s": time.time() - t0})
+    diverged = not np.isfinite(loss)
+    if diverged:
+        logger.warning("infinite or missing values in loss at init; "
+                       "aborting (reference warns: R/utils.R:126-128)")
 
     decay = 1.0
     it = start_iter
@@ -628,16 +663,18 @@ def optimize(
         chunk_idx = len(history)  # 1 = first post-init chunk (compile)
         if profile_dir and chunk_idx == 2:
             with jax.profiler.trace(profile_dir):
-                state = _run_steps(arrays, statics, step_statics, hypers,
-                                   state, sub_tol_eff, jnp.int32(n))
+                state, metrics = _run_steps_eval(
+                    arrays, statics, step_statics, hypers, state,
+                    sub_tol_eff, jnp.int32(n))
                 jax.block_until_ready(state.column_factor)
         else:
-            state = _run_steps(arrays, statics, step_statics, hypers, state,
-                               sub_tol_eff, jnp.int32(n))
+            state, metrics = _run_steps_eval(
+                arrays, statics, step_statics, hypers, state, sub_tol_eff,
+                jnp.int32(n))
         it = boundary + 1
 
         pre_loss = loss
-        m = do_eval(state)
+        m = finalize(metrics)
         loss = m["loss"]
         delta_loss = pre_loss - loss
         decay = decay_from_delta_loss(delta_loss)
@@ -678,4 +715,5 @@ def optimize(
         history=history,
         state=state,
         diverged=diverged,
+        converged=converged,
     )

