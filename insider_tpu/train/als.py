@@ -533,6 +533,52 @@ def _run_steps_eval(arrays: ProblemArrays, statics: ProblemStatics,
     return state, losses.pack_metrics(ev, reg)
 
 
+def _stage_state_global(mesh, state: InsiderState) -> InsiderState:
+    """Lift a process-local initial state onto a multi-process global mesh.
+
+    init_state is deterministic in the seed, so every process holds the same
+    full factor values; each leaf becomes a global jax.Array (factors
+    replicated, F column-sharded per sharding/mesh.py) by slicing the local
+    copy per addressable shard.  Single-process meshes (including virtual
+    devices) need none of this — pjit shards local arrays directly.
+    """
+    if mesh is None or jax.process_count() == 1:
+        return state
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    def put(x, spec):
+        if x is None:
+            return None
+        xnp = np.asarray(x)
+        sh = NamedSharding(mesh, spec)
+        return jax.make_array_from_callback(
+            xnp.shape, sh, lambda idx, xnp=xnp: xnp[idx])
+
+    return InsiderState(
+        [put(f, P(None, None)) for f in state.cfd_factors],
+        put(state.ctns_factor, P(None, None)),
+        put(state.column_factor, P(None, "cols")),
+        put(state.key, P()),
+    )
+
+
+def _to_host(x):
+    """np.asarray that also works for multi-process global arrays.
+
+    Under a multi-host mesh the column factor is genuinely distributed
+    (sharding/mesh.py pins P(None, 'cols')), so no single process can
+    np.asarray it; all-gather it across processes first.  Single-process
+    (including virtual-device meshes) takes the plain path.
+    """
+    if x is None:
+        return None
+    if isinstance(x, jax.Array) and not x.is_fully_addressable:
+        from jax.experimental import multihost_utils
+
+        return np.asarray(multihost_utils.process_allgather(x, tiled=True))
+    return np.asarray(x)
+
+
 @dataclasses.dataclass
 class OptimizeResult:
     row_matrices: List[np.ndarray]
@@ -603,6 +649,7 @@ def optimize(
         )
 
     arrays, statics = problem.arrays, problem.statics
+    state = _stage_state_global(statics.mesh, state)
 
     def finalize(metrics_vec):
         return losses.finalize_metrics_vec(
@@ -705,9 +752,9 @@ def optimize(
         jl.close()
 
     return OptimizeResult(
-        row_matrices=[np.asarray(f) for f in state.cfd_factors],
-        ctns_factor=None if state.ctns_factor is None else np.asarray(state.ctns_factor),
-        column_factor=np.asarray(state.column_factor),
+        row_matrices=[_to_host(f) for f in state.cfd_factors],
+        ctns_factor=_to_host(state.ctns_factor),
+        column_factor=_to_host(state.column_factor),
         train_rmse=m["train_rmse"],
         test_rmse=m["test_rmse"],
         loss=loss,
