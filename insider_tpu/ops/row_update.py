@@ -26,6 +26,12 @@ import jax.numpy as jnp
 from jax import lax
 
 HIGHEST = lax.Precision.HIGHEST
+# Per-operand precision for matmuls whose 0/1 operand (one-hot E) is exactly
+# representable in bf16: the real-valued side is split 3-way (HIGHEST), the
+# indicator side runs single-pass bf16 (DEFAULT) with zero representation
+# error, so the product is bit-identical to HIGHEST/HIGHEST at half the MXU
+# passes.  Verified bit-exact on hardware by tools/tpu_selfcheck.py.
+EXACT01_LHS = (lax.Precision.DEFAULT, lax.Precision.HIGHEST)
 
 
 def factor_outer_table(F: jax.Array) -> jax.Array:
@@ -34,14 +40,22 @@ def factor_outer_table(F: jax.Array) -> jax.Array:
     return (F[:, None, :] * F[None, :, :]).reshape(K * K, M)
 
 
-def level_gram_masked(mask_by_level: jax.Array, F: jax.Array) -> jax.Array:
+def level_gram_masked(mask_by_level: jax.Array, F: jax.Array,
+                      PF: jax.Array = None) -> jax.Array:
     """Per-level masked Grams: (L,M) x (K,M) -> (L,K,K).
 
     mask_by_level[l, j] = number of member rows of level l with entry (i, j)
     observed (the segment-sum of the 0/1 train mask over the level).
+
+    PF: optionally the precomputed factor_outer_table(F) — within one ALS
+    iteration every confounder's gram uses the same F (F only changes in the
+    column update), so the driver builds the (K^2, M) table once and batches
+    all confounders' (L_v, M) blocks into a single matmul
+    (train/als.py _als_iteration).
     """
     K = F.shape[0]
-    PF = factor_outer_table(F)
+    if PF is None:
+        PF = factor_outer_table(F)
     XtX = jnp.matmul(mask_by_level, PF.T, precision=HIGHEST)
     return XtX.reshape(-1, K, K)
 
@@ -92,6 +106,7 @@ def update_row_factor_masked_fast(
     R_minus: jax.Array,  # (N, K) row factor excluding this confounder
     F: jax.Array,        # (K, M)
     lam,
+    xtx: jax.Array = None,  # optional precomputed (L, K, K) level grams
 ) -> jax.Array:
     """Masked per-level ridge with precomputed constants.
 
@@ -100,11 +115,14 @@ def update_row_factor_masked_fast(
     constant D, and only the second is per-iteration work — one (N,K)@(K,M)
     predict, one elementwise mask, one (L,N)@(N,M) matmul.  Mathematically
     identical to update_row_factor_masked.
+
+    xtx: optionally the precomputed level_gram_masked(Mw, F) — the driver
+    batches all confounders' grams into one matmul per iteration.
     """
     P = jnp.matmul(R_minus, F, precision=HIGHEST)          # (N, M)
-    T = jnp.matmul(E.T, mask * P, precision=HIGHEST)       # (L, M)
+    T = jnp.matmul(E.T, mask * P, precision=EXACT01_LHS)   # (L, M)
     S = D - T
-    XtX = level_gram_masked(Mw, F)                         # (L, K, K)
+    XtX = level_gram_masked(Mw, F) if xtx is None else xtx  # (L, K, K)
     Xty = jnp.matmul(S, F.T, precision=HIGHEST)            # (L, K)
     return _ridge_solve_batched(XtX, Xty, lam)
 
@@ -121,7 +139,7 @@ def update_row_factor_dense_fast(
     """Dense per-level ridge with precomputed constants
     (src/optimize.cpp:178-191 semantics)."""
     P = jnp.matmul(R_minus, F, precision=HIGHEST)
-    S = Ddense - jnp.matmul(E.T, P, precision=HIGHEST)
+    S = Ddense - jnp.matmul(E.T, P, precision=EXACT01_LHS)
     XtX = counts[:, None, None] * gram
     Xty = jnp.matmul(S, F.T, precision=HIGHEST)
     return _ridge_solve_batched(XtX, Xty, lam)

@@ -381,6 +381,27 @@ def _als_iteration(arrays: ProblemArrays, statics: ProblemStatics,
     cfd_new: List[jax.Array] = list(state.cfd_factors)
     n_cfd = len(arrays.codes)
     pre = arrays.pre
+
+    # Every confounder's level gram uses the same F (F only changes in the
+    # column update below), so build the (K^2, M) outer-product table once
+    # and compute ALL fast-path confounders' grams in a single (sum_L, M) @
+    # (M, K^2) matmul instead of one small matmul + table rebuild each
+    # (PROFILE_r03: the 4x separate form wastes ~0.5 ms/iter on v5e).
+    level_xtx: List[Optional[jax.Array]] = [None] * n_cfd
+    if masked and pre is not None:
+        fast_v = [v for v in range(n_cfd) if pre.e[v] is not None]
+        if fast_v:
+            from insider_tpu.ops.row_update import (factor_outer_table,
+                                                    level_gram_masked)
+
+            mw_cat = jnp.concatenate([pre.mw[v] for v in fast_v], axis=0)
+            xtx_cat = level_gram_masked(mw_cat, F, factor_outer_table(F))
+            off = 0
+            for v in fast_v:
+                L = statics.n_levels[v]
+                level_xtx[v] = xtx_cat[off:off + L]
+                off += L
+
     for v in range(n_cfd):
         R_minus = R - cfd_new[v][arrays.codes[v]]
         fast = pre is not None and pre.e[v] is not None
@@ -388,7 +409,7 @@ def _als_iteration(arrays: ProblemArrays, statics: ProblemStatics,
             if fast:
                 V = row_update.update_row_factor_masked_fast(
                     pre.e[v], pre.mw[v], pre.d[v], mask, R_minus, F,
-                    hypers.lam1,
+                    hypers.lam1, xtx=level_xtx[v],
                 )
             else:
                 resid_plus = arrays.data - losses.predict(R_minus, F)

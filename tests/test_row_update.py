@@ -65,3 +65,25 @@ def test_fit_interaction_unregularized():
         codes, jnp.asarray(F, jnp.float32), masked=True,
     )
     np.testing.assert_allclose(np.asarray(got), want, rtol=5e-3, atol=5e-3)
+
+
+def test_batched_level_grams_match_per_confounder():
+    # The driver batches all confounders' level grams into one matmul per
+    # iteration against a shared outer-product table (train/als.py); the
+    # concatenated-and-sliced result must equal the per-confounder form.
+    import numpy as np
+    from insider_tpu.ops.row_update import factor_outer_table, level_gram_masked
+
+    rng = np.random.default_rng(0)
+    K, M = 6, 40
+    F = jnp.asarray(rng.standard_normal((K, M)), jnp.float32)
+    mws = [jnp.asarray(rng.integers(0, 9, (L, M)), jnp.float32)
+           for L in (2, 5, 11)]
+    PF = factor_outer_table(F)
+    cat = level_gram_masked(jnp.concatenate(mws, axis=0), F, PF)
+    off = 0
+    for mw in mws:
+        L = mw.shape[0]
+        np.testing.assert_array_equal(np.asarray(cat[off:off + L]),
+                                      np.asarray(level_gram_masked(mw, F)))
+        off += L

@@ -35,9 +35,9 @@ B. **Stop fires** — run-to-convergence at global_tol=2e-7, the tightest
    converged fits must agree.
 C. **Continuous covariates at scale** — same flagship shape with P=3
    continuous confounders planted in the data (optimize_continuous_v2,
-   src/optimize.cpp:77-137,341-350), fixed 300-iter budget, cd-vs-fss
-   agreement + per-iter cost of the host-unrolled covariate loop
-   (train/als.py _als_iteration) vs protocol A's.
+   src/optimize.cpp:77-137,341-350), fixed reference-budget run (CTNS_ITERS
+   iters), cd-vs-fss agreement + per-iter cost of the host-unrolled
+   covariate loop (train/als.py _als_iteration) vs protocol A's.
 
 Also demonstrates the fit-regime wall-clock fix (VERDICT r2 #2): sec/iter in
 the decay<=0.01 convergence regime, measured from protocol B's elapsed_s

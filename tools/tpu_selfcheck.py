@@ -17,12 +17,17 @@ checks them three ways:
      boundary-decision noise bound and the differing-column fraction must
      be tiny.
   3. f64 KKT audit on host: for a random sample of columns, the elastic-net
-     optimality residual of the kernel's solution (polished, as the driver
-     produces it), recomputed in float64 from the raw (R, mask, data), must
-     be below the f32 gradient-noise tolerance.
+     optimality residual of the kernel's solution — produced by the FUSED
+     in-kernel polish, the exact codepath the driver runs — recomputed in
+     float64 from the raw (R, mask, data), must be below the f32
+     gradient-noise tolerance; the fused polish must also match the
+     two-stage (kernel + standalone CD) objective.
   4. objective audit: per-column objective of each kernel's (polished)
      solution must not exceed the jnp CD-at-tight-tol objective beyond f32
      noise.
+  5. exact-0/1-operand gram precision: the per-operand (HIGHEST, DEFAULT)
+     column-gram matmul (ops/col_update.py) must be bit-identical on
+     hardware to the HIGHEST/HIGHEST form it replaces.
 
 Writes one JSON document (stdout + optional --out file) with max errors and
 pass/fail per check.  This is the non-interpret correctness artifact the
@@ -223,14 +228,30 @@ def main():
 
     # ---------- check 3: f64 KKT audit of the driver-path solutions -------
     # CD at a loose tol is inexact by design; re-run tight for the audit.
-    # FSS is audited post-polish — the solution the driver returns.
+    # FSS is audited with the FUSED polish (polish_sweeps inside the kernel's
+    # second while_loop) — the exact codepath the driver runs
+    # (ops/col_update.py update_columns_masked), so the fused polish gets
+    # real Mosaic-lowering coverage here (ADVICE r2).
     cd_tight = np.asarray(jax.block_until_ready(
         elastic_net_cd_pallas(XtXt, Xty, beta0, LAMBDA, ALPHA,
                               jnp.float32(1e-10), max_sweeps=400)))
     fss_pol = np.asarray(jax.block_until_ready(
+        feature_sign_pallas(XtXt, Xty, beta0, LAMBDA, ALPHA, max_outer=48,
+                            polish_sweeps=64, tol=jnp.float32(1e-10))))
+    # Two-stage reference: unpolished kernel output + standalone CD polish.
+    fss_two_stage = np.asarray(jax.block_until_ready(
         elastic_net_cd_pallas(XtXt, Xty, jnp.asarray(fss_hw), LAMBDA, ALPHA,
                               jnp.float32(1e-10), max_sweeps=64,
                               use_strong_rule=False)))
+    obj_fused = _objective_f64(R, mask, data, fss_pol, LAMBDA, ALPHA)
+    obj_two = _objective_f64(R, mask, data, fss_two_stage, LAMBDA, ALPHA)
+    fused_gap = float(np.max(np.abs(obj_fused - obj_two)
+                             / np.maximum(obj_two, 1.0)))
+    fused_ok = fused_gap < 2e-4
+    report["checks"]["fused_polish_vs_two_stage"] = {
+        "max_rel_obj_gap": fused_gap, "pass": fused_ok,
+    }
+    ok_all &= fused_ok
     kkt_cd = _kkt_residual_f64(R, mask, data, cd_tight, LAMBDA, ALPHA,
                                audit_cols)
     kkt_fss = _kkt_residual_f64(R, mask, data, fss_pol, LAMBDA, ALPHA,
@@ -267,6 +288,21 @@ def main():
         "pass": obj_ok,
     }
     ok_all &= obj_ok
+
+    # ---------- check 5: exact-0/1-operand gram precision, on hardware ----
+    # ops/col_update.py builds the column grams with per-operand precision
+    # (HIGHEST, DEFAULT): the 0/1 mask is exactly representable in bf16, so
+    # the result must be BIT-IDENTICAL to the full HIGHEST/HIGHEST matmul at
+    # half the MXU passes.  This check pins that claim to real hardware.
+    PR = (Rj[:, :, None] * Rj[:, None, :]).reshape(N_ROWS, K * K)
+    full = jnp.matmul(PR.T, maskj, precision=jax.lax.Precision.HIGHEST)
+    mixed = np.asarray(XtXt).reshape(K * K, N_COLS)
+    gram_bit_err = float(np.max(np.abs(np.asarray(full) - mixed)))
+    gram_ok = gram_bit_err == 0.0
+    report["checks"]["exact01_gram_precision_bitwise"] = {
+        "max_abs_diff": gram_bit_err, "pass": gram_ok,
+    }
+    ok_all &= gram_ok
 
     report["pass"] = bool(ok_all)
     out = json.dumps(report, indent=2)
