@@ -23,6 +23,8 @@ import jax.numpy as jnp
 from jax import lax
 
 HIGHEST = lax.Precision.HIGHEST
+# 0/1 mask operand is exact in bf16: see ops/col_update.py EXACT01_*.
+EXACT01_LHS = (lax.Precision.DEFAULT, lax.Precision.HIGHEST)
 
 
 def update_ctns_row_masked(
@@ -56,11 +58,21 @@ def update_ctns_row_masked_fast(
     max_sweeps: int = 100,
 ) -> jax.Array:
     """Masked path with precomputed constants: the add-back residual is
-    data - R_minus F, so c^T(W .* resid) = bc - c^T(W .* (R_minus F))."""
+    data - R_minus F, so c^T(W .* resid) = bc - c^T(W .* (R_minus F)).
+
+    The correction term contracts over ROWS first — v_j = sum_k
+    [mask^T (c .* R_minus)]_{jk} F_kj — so no (N, M) predict is ever
+    materialized (the naive form costs a 6-pass (N,K)@(K,M) matmul plus two
+    full-matrix reads PER COVARIATE per iteration; this form is one
+    3-pass (M,N)@(N,K) matmul with a (M,K) output).  Mathematically
+    identical; the mask operand is exact in bf16 so the per-operand
+    precision loses nothing.
+    """
     XtX = jnp.matmul(F * q[None, :], F.T, precision=HIGHEST)
-    P = jnp.matmul(R_minus, F, precision=HIGHEST)
-    b = jnp.matmul(F, bc - jnp.matmul(c, mask * P, precision=HIGHEST),
-                   precision=HIGHEST)
+    G = jnp.matmul(mask.T, R_minus * c[:, None],
+                   precision=EXACT01_LHS)                     # (M, K)
+    v = jnp.sum(G.T * F, axis=0)                              # (M,)
+    b = jnp.matmul(F, bc - v, precision=HIGHEST)
     return _ctns_cd(XtX, b, w0, lam, tol, max_sweeps)
 
 
