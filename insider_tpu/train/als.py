@@ -346,6 +346,56 @@ def _precompute_row_constants(data, mask, codes, n_levels, ctns, masked
                       ctns_dc=dc, ctns_cc=cc)
 
 
+def _shard_row_xty(mesh, E, R_minus, mask, F):
+    """row_xty_pallas over the mesh: each device contributes its local
+    (rows-block x cols-block) partial of the (L, K) contraction; psum over
+    both axes finishes it (kernels are not GSPMD-partitionable)."""
+    from insider_tpu.kernels.row_pallas import row_xty_pallas
+
+    if mesh is None:
+        return row_xty_pallas(E, R_minus, mask, F)
+    from jax.sharding import PartitionSpec as P
+
+    try:
+        from jax import shard_map
+    except ImportError:
+        from jax.experimental.shard_map import shard_map
+
+    fn = shard_map(
+        lambda e, r, m, f: lax.psum(row_xty_pallas(e, r, m, f),
+                                    ("rows", "cols")),
+        mesh=mesh,
+        in_specs=(P("rows", None), P("rows", None), P("rows", "cols"),
+                  P(None, "cols")),
+        out_specs=P(None, None),
+        check_vma=False,
+    )
+    return fn(E, R_minus, mask, F)
+
+
+def _shard_level_gram(mesh, mw_cat, F):
+    """level_gram_pallas over the mesh (column-axis partials + psum)."""
+    from insider_tpu.kernels.row_pallas import level_gram_pallas
+
+    if mesh is None:
+        return level_gram_pallas(mw_cat, F)
+    from jax.sharding import PartitionSpec as P
+
+    try:
+        from jax import shard_map
+    except ImportError:
+        from jax.experimental.shard_map import shard_map
+
+    fn = shard_map(
+        lambda mw, f: lax.psum(level_gram_pallas(mw, f), "cols"),
+        mesh=mesh,
+        in_specs=(P(None, "cols"), P(None, "cols")),
+        out_specs=P(None, None),
+        check_vma=False,
+    )
+    return fn(mw_cat, F)
+
+
 def _row_factor(arrays: ProblemArrays, state: InsiderState) -> jax.Array:
     """R = sum_v V_v[codes_v] + C W  (src/optimize.cpp:365-373)."""
     R = state.cfd_factors[0][arrays.codes[0]]
@@ -388,6 +438,13 @@ def _als_iteration(arrays: ProblemArrays, statics: ProblemStatics,
     # (M, K^2) matmul instead of one small matmul + table rebuild each
     # (PROFILE_r03: the 4x separate form wastes ~0.5 ms/iter on v5e).
     level_xtx: List[Optional[jax.Array]] = [None] * n_cfd
+    # With Pallas available, the (L, K) Xty contraction and the level grams
+    # run as fused kernels with no (N, M) / (K^2, M) HBM intermediates
+    # (kernels/row_pallas.py); Xty then assembles as DF_v - kernel_out where
+    # DF = D @ F^T uses the per-problem constant D = E^T(mask .* data).
+    use_row_kernels = (step_statics.use_pallas and masked
+                       and pre is not None)
+    df_of: List[Optional[jax.Array]] = [None] * n_cfd
     if masked and pre is not None:
         fast_v = [v for v in range(n_cfd) if pre.e[v] is not None]
         if fast_v:
@@ -395,18 +452,31 @@ def _als_iteration(arrays: ProblemArrays, statics: ProblemStatics,
                                                     level_gram_masked)
 
             mw_cat = jnp.concatenate([pre.mw[v] for v in fast_v], axis=0)
-            xtx_cat = level_gram_masked(mw_cat, F, factor_outer_table(F))
+            if use_row_kernels:
+                xtx_cat = _shard_level_gram(statics.mesh, mw_cat, F)
+                d_cat = jnp.concatenate([pre.d[v] for v in fast_v], axis=0)
+                df_cat = jnp.matmul(d_cat, F.T, precision=HIGHEST)
+            else:
+                xtx_cat = level_gram_masked(mw_cat, F, factor_outer_table(F))
+                df_cat = None
             off = 0
             for v in fast_v:
                 L = statics.n_levels[v]
                 level_xtx[v] = xtx_cat[off:off + L]
+                if df_cat is not None:
+                    df_of[v] = df_cat[off:off + L]
                 off += L
 
     for v in range(n_cfd):
         R_minus = R - cfd_new[v][arrays.codes[v]]
         fast = pre is not None and pre.e[v] is not None
         if masked:
-            if fast:
+            if fast and use_row_kernels:
+                tft = _shard_row_xty(statics.mesh, pre.e[v], R_minus, mask,
+                                     F)
+                V = row_update._ridge_solve_batched(
+                    level_xtx[v], df_of[v] - tft, hypers.lam1)
+            elif fast:
                 V = row_update.update_row_factor_masked_fast(
                     pre.e[v], pre.mw[v], pre.d[v], mask, R_minus, F,
                     hypers.lam1, xtx=level_xtx[v],
