@@ -51,15 +51,24 @@ def _auto_block(K: int, block: int, M: int, big_tensors: int) -> int:
 def _fss_kernel(fscal_ref, xtx_ref, xty_ref, beta0_ref, out_ref,
                 u_s, rhs_s, theta_s, act_s, conv_s,
                 *, K: int, max_outer: int, polish_sweeps: int = 0):
+    _fss_compute(fscal_ref, xtx_ref, xty_ref[:], beta0_ref[:], out_ref,
+                 u_s, rhs_s, theta_s, act_s, conv_s,
+                 K=K, max_outer=max_outer, polish_sweeps=polish_sweeps)
+
+
+def _fss_compute(fscal_ref, xtx_ref, xty, beta0, out_ref,
+                 u_s, rhs_s, theta_s, act_s, conv_s,
+                 *, K: int, max_outer: int, polish_sweeps: int = 0):
+    """Kernel core: xtx_ref may be a streamed input block or a VMEM scratch
+    the caller filled (the gram-fused variant); xty/beta0 are values."""
     lam = fscal_ref[0]
     alpha = fscal_ref[1]
     l1 = lam * alpha
     l2 = lam * (1.0 - alpha)
 
-    xty = xty_ref[:]                                   # (K, BM)
     BM = xty.shape[-1]
 
-    beta = beta0_ref[:]
+    beta = beta0
     out_ref[:] = beta
     act_s[:] = (beta != 0.0).astype(jnp.float32)
     theta_s[:] = jnp.sign(beta)
@@ -183,7 +192,7 @@ def _fss_kernel(fscal_ref, xtx_ref, xty_ref, beta0_ref, out_ref,
             for k in range(K):
                 d = act_s[k:k + 1, :]
                 b_k = out_ref[k:k + 1, :]
-                u = xty_ref[k:k + 1, :] - rhs_s[k:k + 1, :] + b_k * d
+                u = xty[k:k + 1, :] - rhs_s[k:k + 1, :] + b_k * d
                 denom = d + l2
                 denom = jnp.where(denom > 0.0, denom, 1.0)
                 w = (jnp.sign(u) * jnp.maximum(jnp.abs(u) - l1, 0.0)
@@ -209,6 +218,109 @@ def _fss_kernel(fscal_ref, xtx_ref, xty_ref, beta0_ref, out_ref,
 
         lax.while_loop(polish_cond, polish_body,
                        (jnp.int32(0), jnp.bool_(False)))
+
+
+def _fss_fused_kernel(fscal_ref, mask_ref, wx_ref, r_ref, beta0_ref, out_ref,
+                      gram_s, u_s, rhs_s, theta_s, act_s, conv_s,
+                      *, K: int, N: int, max_outer: int,
+                      polish_sweeps: int = 0):
+    """FSS with the per-column gram and Xty built IN KERNEL from the mask
+    and masked data blocks: the (K, K, M) gram never exists in HBM (the
+    streamed variant costs a ~100 MB write + read per iteration at flagship
+    scale).  The mask operand is exact in bf16, so the gram matmul uses the
+    same per-operand precision as ops/col_update.py."""
+    r = r_ref[:]                                            # (N, K)
+    PR = (r[:, :, None] * r[:, None, :]).reshape(N, K * K)
+    g = jnp.dot(PR.T, mask_ref[:],
+                precision=(lax.Precision.HIGHEST, lax.Precision.DEFAULT),
+                preferred_element_type=jnp.float32)         # (K^2, BM)
+    gram_s[:] = g.reshape(K, K, g.shape[-1])
+    xty = jnp.dot(r.T, wx_ref[:], precision=lax.Precision.HIGHEST,
+                  preferred_element_type=jnp.float32)       # (K, BM)
+    _fss_compute(fscal_ref, gram_s, xty, beta0_ref[:], out_ref,
+                 u_s, rhs_s, theta_s, act_s, conv_s,
+                 K=K, max_outer=max_outer, polish_sweeps=polish_sweeps)
+
+
+def _auto_block_fused(K: int, N: int, block: int, M: int) -> int:
+    """VMEM-fitting column block for the gram-fused kernel: gram scratch +
+    GJ workspace (2*K^2 lanes), ~7 (K, BM) vectors, and double-buffered
+    (N, BM) mask + wx blocks, plus the fixed (N, K^2) outer-product table."""
+    fixed = N * K * K * 4 + 2 * N * K * 4
+    per_lane = (2 * K * K + 7 * K + 2) * 4 + 4 * N * 4
+    cap = max(128, ((12 * 1024 * 1024 - fixed) // per_lane // 128) * 128)
+    want = min(block, max(128, 1 << (M - 1).bit_length()))
+    return max(128, min(want, cap))
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("max_outer", "block", "interpret", "polish_sweeps"),
+)
+def feature_sign_fused_pallas(
+    mask: jax.Array,     # (N, M) 0/1 train indicator (f32)
+    wx: jax.Array,       # (N, M) mask .* data
+    R: jax.Array,        # (N, K) row factor
+    beta0: jax.Array,    # (K, M) warm start
+    lam,
+    alpha,
+    max_outer: int = 48,
+    block: int = DEFAULT_BLOCK,
+    interpret: bool = False,
+    polish_sweeps: int = 0,
+    tol=0.0,
+):
+    """feature_sign_pallas with in-kernel gram/Xty builds (see
+    _fss_fused_kernel).  Valid when the full row axis is device-local (mesh
+    rows == 1); the caller falls back to the streamed variant otherwise."""
+    N, K = R.shape
+    M = mask.shape[1]
+    BM = _auto_block_fused(K, N, block, M)
+    Mp = ((M + BM - 1) // BM) * BM
+    if Mp != M:
+        pad = Mp - M
+        mask = jnp.pad(mask, ((0, 0), (0, pad)))
+        wx = jnp.pad(wx, ((0, 0), (0, pad)))
+        beta0 = jnp.pad(beta0, ((0, 0), (0, pad)))
+
+    fscal = jnp.stack([jnp.asarray(lam, jnp.float32),
+                       jnp.asarray(alpha, jnp.float32),
+                       jnp.asarray(tol, jnp.float32)])
+
+    kernel = functools.partial(_fss_fused_kernel, K=K, N=N,
+                               max_outer=max_outer,
+                               polish_sweeps=polish_sweeps)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(Mp // BM,),
+        in_specs=[
+            pl.BlockSpec((N, BM), lambda i, *_: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((N, BM), lambda i, *_: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((N, K), lambda i, *_: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((K, BM), lambda i, *_: (0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((K, BM), lambda i, *_: (0, i),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((K, K, BM), jnp.float32),   # gram
+            pltpu.VMEM((K, K, BM), jnp.float32),   # U (GJ workspace)
+            pltpu.VMEM((K, BM), jnp.float32),      # rhs / beta*
+            pltpu.VMEM((K, BM), jnp.float32),      # theta
+            pltpu.VMEM((K, BM), jnp.float32),      # active
+            pltpu.VMEM((1, BM), jnp.float32),      # converged
+        ],
+    )
+    beta = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((K, Mp), jnp.float32),
+        interpret=interpret,
+    )(fscal, mask, wx, R, beta0)
+    return beta[:, :M]
 
 
 @functools.partial(

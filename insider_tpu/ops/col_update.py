@@ -244,6 +244,29 @@ def _shard_cols(mesh, fn, XtXt, Xty, beta0):
     return wrapped(XtXt, Xty, beta0)
 
 
+def _shard_cols_fused(mesh, fn, mask, wx, R, beta0):
+    """Column-sharded run of the gram-fused kernel (mesh rows must be 1 so
+    the row axis is fully device-local; the caller guarantees this)."""
+    if mesh is None:
+        return fn(mask, wx, R, beta0)
+    from jax.sharding import PartitionSpec as P
+
+    try:
+        from jax import shard_map
+    except ImportError:
+        from jax.experimental.shard_map import shard_map
+
+    wrapped = shard_map(
+        fn,
+        mesh=mesh,
+        in_specs=(P("rows", "cols"), P("rows", "cols"), P("rows", None),
+                  P(None, "cols")),
+        out_specs=P(None, "cols"),
+        check_vma=False,
+    )
+    return wrapped(mask, wx, R, beta0)
+
+
 def update_columns_masked(
     data: jax.Array,        # (N, M) — NOTE: the driver passes data, not the
                             # residual (src/optimize.cpp:376); the column solve
@@ -278,18 +301,34 @@ def update_columns_masked(
         return F, key, jnp.int32(0)
     if solver == "fss":
         if use_pallas:
-            from insider_tpu.kernels.fss_pallas import feature_sign_pallas
+            from insider_tpu.kernels.fss_pallas import (
+                feature_sign_fused_pallas,
+                feature_sign_pallas,
+            )
 
             # Plain-CD polish fused into the kernel (removes FSS's f32
             # KKT-slack objective excess and makes the result satisfy the
             # reference CD's stopping criterion; see FitConfig.fss_polish).
+            polish = max_fss_polish_sweeps if fss_polish else 0
+            rows_local = mesh is None or dict(mesh.shape).get("rows", 1) == 1
+            if rows_local:
+                # Gram-fused variant: the (K, K, M) gram is built in VMEM
+                # from the mask/wx blocks and never exists in HBM.  Needs
+                # the full row axis device-local.
+                F = _shard_cols_fused(
+                    mesh,
+                    lambda mk, w, r, b0: feature_sign_fused_pallas(
+                        mk, w, r, b0, lam, alpha, max_fss_outer,
+                        polish_sweeps=polish, tol=tol),
+                    mask, masked_data, R, F_prev,
+                )
+                return F, key, jnp.int32(-3)
             XtXt = col_gram_masked_t(R, mask)           # (K, K, M)
             F = _shard_cols(
                 mesh,
                 lambda xt, xy, b0: feature_sign_pallas(
                     xt, xy, b0, lam, alpha, max_fss_outer,
-                    polish_sweeps=max_fss_polish_sweeps if fss_polish else 0,
-                    tol=tol),
+                    polish_sweeps=polish, tol=tol),
                 XtXt, Xty, F_prev,
             )
             return F, key, jnp.int32(-2)

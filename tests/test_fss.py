@@ -288,3 +288,63 @@ def test_fss_kernel_k48_interpret():
     op = _objective(bp, XtX, Xty, lam, alpha)
     oj = _objective(bj, XtX, Xty, lam, alpha)
     assert float(np.abs(op - oj).max()) < 1e-4
+
+
+def test_fused_gram_variant_matches_streamed():
+    # feature_sign_fused_pallas (in-kernel gram/Xty builds) must match the
+    # streamed-gram kernel on the same problem, including the fused polish.
+    from insider_tpu.kernels.fss_pallas import (feature_sign_fused_pallas,
+                                                feature_sign_pallas)
+    from insider_tpu.ops.col_update import col_gram_masked_t
+
+    rng = np.random.default_rng(7)
+    N, K, M = 45, 6, 700
+    R = jnp.asarray(rng.standard_normal((N, K)), jnp.float32)
+    mask = jnp.asarray(rng.random((N, M)) > 0.1, jnp.float32)
+    data = jnp.asarray(rng.standard_normal((N, M)), jnp.float32)
+    wx = mask * data
+    Xty = jnp.matmul(R.T, wx, precision=jax.lax.Precision.HIGHEST)
+    beta0 = jnp.asarray(rng.standard_normal((K, M)) * 0.01, jnp.float32)
+
+    XtXt = col_gram_masked_t(R, mask)
+    a = feature_sign_pallas(XtXt, Xty, beta0, 2.0, 0.5, 32,
+                            polish_sweeps=16, tol=jnp.float32(1e-9),
+                            interpret=True, block=512)
+    b = feature_sign_fused_pallas(mask, wx, R, beta0, 2.0, 0.5, 32,
+                                  polish_sweeps=16, tol=jnp.float32(1e-9),
+                                  interpret=True, block=512)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-5,
+                               atol=1e-5)
+
+
+def test_fused_gram_variant_in_driver_path():
+    # update_columns_masked dispatches to the fused kernel when use_pallas
+    # and the row axis is local; it must agree with the jnp fss+polish path.
+    import insider_tpu.kernels.fss_pallas as fsp
+    from insider_tpu.ops import col_update
+
+    orig = fsp.feature_sign_fused_pallas
+
+    def interp(*args, **kw):
+        kw["interpret"] = True
+        return orig(*args, **kw)
+
+    rng = np.random.default_rng(8)
+    N, K, M = 40, 5, 512
+    R = jnp.asarray(rng.standard_normal((N, K)), jnp.float32)
+    mask = jnp.asarray(rng.random((N, M)) > 0.15, jnp.float32)
+    data = jnp.asarray(rng.standard_normal((N, M)), jnp.float32)
+    F0 = jnp.asarray(rng.standard_normal((K, M)) * 0.01, jnp.float32)
+    kw = dict(lam=1.5, alpha=0.4, tol=jnp.float32(1e-9),
+              key=jax.random.PRNGKey(2), max_sweeps=40, solver="fss",
+              fss_polish=True, max_fss_polish_sweeps=32)
+
+    import unittest.mock as mock
+    with mock.patch.object(fsp, "feature_sign_fused_pallas", interp):
+        Fa, _, tag = col_update.update_columns_masked(
+            data, mask, R, F0, use_pallas=True, **kw)
+    assert int(tag) == -3  # the fused path actually ran
+    Fb, _, _ = col_update.update_columns_masked(
+        data, mask, R, F0, use_pallas=False, **kw)
+    np.testing.assert_allclose(np.asarray(Fa), np.asarray(Fb), rtol=5e-3,
+                               atol=5e-4)
