@@ -44,13 +44,22 @@ DEFAULT_BLOCK = 1024
 def _cd_kernel(fscal_ref, xtx_ref, xty_ref, beta0_ref, out_ref,
                diag_s, s_s, active_s, conv_s,
                *, K: int, max_sweeps: int, use_strong_rule: bool):
+    _cd_compute(fscal_ref, xtx_ref, xty_ref[:], beta0_ref[:], out_ref,
+                diag_s, s_s, active_s, conv_s,
+                K=K, max_sweeps=max_sweeps, use_strong_rule=use_strong_rule)
+
+
+def _cd_compute(fscal_ref, xtx_ref, xty, beta0, out_ref,
+                diag_s, s_s, active_s, conv_s,
+                *, K: int, max_sweeps: int, use_strong_rule: bool):
+    """Kernel core: xtx_ref may be a streamed input block or a VMEM scratch
+    the caller filled (the gram-fused variant); xty/beta0 are values."""
     lam = fscal_ref[0]
     alpha = fscal_ref[1]
     tol = fscal_ref[2]
     l1 = lam * alpha
     l2 = lam * (1.0 - alpha)
 
-    xty = xty_ref[:]           # (K, BM)
     BM = xty.shape[-1]
 
     # diag[k] = xtx[k, k, :] (static unroll)
@@ -63,10 +72,10 @@ def _cd_kernel(fscal_ref, xtx_ref, xty_ref, beta0_ref, out_ref,
         mx = jnp.max(jnp.abs(xty), axis=0, keepdims=True)        # (1, BM)
         thr = alpha * (2.0 * lam - mx)
         active = (jnp.abs(xty) >= thr).astype(jnp.float32)        # (K, BM)
-        beta = beta0_ref[:] * active
+        beta = beta0 * active
     else:
         active = jnp.ones((K, BM), jnp.float32)
-        beta = beta0_ref[:]
+        beta = beta0
     active_s[:] = active
     out_ref[:] = beta
     # s = XtX @ beta per column (contraction over j on the VPU)
@@ -83,7 +92,7 @@ def _cd_kernel(fscal_ref, xtx_ref, xty_ref, beta0_ref, out_ref,
         for k in range(K):
             d = diag_s[k:k + 1, :]                                # (1, BM)
             b_k = out_ref[k:k + 1, :]
-            u = xty_ref[k:k + 1, :] - s_s[k:k + 1, :] + b_k * d
+            u = xty[k:k + 1, :] - s_s[k:k + 1, :] + b_k * d
             denom = d + l2
             denom = jnp.where(denom > 0.0, denom, 1.0)            # guard d=0
             w = jnp.sign(u) * jnp.maximum(jnp.abs(u) - l1, 0.0) / denom
@@ -109,7 +118,7 @@ def _cd_kernel(fscal_ref, xtx_ref, xty_ref, beta0_ref, out_ref,
         cand = (1.0 - conv) * (jnp.abs(dec) <= tol).astype(jnp.float32)
         if use_strong_rule:
             # KKT reactivation (coordinate_descent.cpp:118-124)
-            grad = s_s[:] - xty_ref[:]
+            grad = s_s[:] - xty
             viol = ((1.0 - active_s[:])
                     * (jnp.abs(grad) > l1).astype(jnp.float32))
             has_viol = jnp.max(viol, axis=0, keepdims=True)       # (1, BM)
@@ -125,6 +134,102 @@ def _cd_kernel(fscal_ref, xtx_ref, xty_ref, beta0_ref, out_ref,
         return jnp.logical_not(done) & (sweep < max_sweeps)
 
     lax.while_loop(cond, sweep_body, (jnp.int32(0), jnp.bool_(False)))
+
+
+def _cd_fused_kernel(fscal_ref, mask_ref, wx_ref, r_ref, beta0_ref, out_ref,
+                     gram_s, diag_s, s_s, active_s, conv_s,
+                     *, K: int, N: int, max_sweeps: int,
+                     use_strong_rule: bool):
+    """CD with the per-column gram and Xty built IN KERNEL (see
+    fss_pallas._fss_fused_kernel — same construction; the 0/1 mask operand
+    keeps the exact-bf16 per-operand precision)."""
+    from insider_tpu.kernels.fss_pallas import _masked_gram_dot
+
+    r = r_ref[:]                                            # (N, K)
+    # (K^2, N) outer-product table by sublane concatenation (Mosaic cannot
+    # shape-cast a lane-dim collapse like (N, K, K) -> (N, K^2)).
+    rt = r.T                                                # (K, N)
+    pr_t = jnp.concatenate([rt * rt[k:k + 1, :] for k in range(K)], axis=0)
+    g = _masked_gram_dot(pr_t, mask_ref[:])                 # (K^2, BM)
+    gram_s[:] = g.reshape(K, K, g.shape[-1])
+    xty = jnp.dot(rt, wx_ref[:], precision=lax.Precision.HIGHEST,
+                  preferred_element_type=jnp.float32)       # (K, BM)
+    _cd_compute(fscal_ref, gram_s, xty, beta0_ref[:], out_ref,
+                diag_s, s_s, active_s, conv_s,
+                K=K, max_sweeps=max_sweeps,
+                use_strong_rule=use_strong_rule)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("max_sweeps", "use_strong_rule", "block", "interpret"),
+)
+def elastic_net_cd_fused_pallas(
+    mask: jax.Array,     # (N, M) 0/1 train indicator (f32)
+    wx: jax.Array,       # (N, M) mask .* data
+    R: jax.Array,        # (N, K) row factor (coordinate-permuted by caller)
+    beta0: jax.Array,    # (K, M) warm start (same permutation)
+    lam,
+    alpha,
+    tol,
+    max_sweeps: int = 200,
+    use_strong_rule: bool = True,
+    block: int = DEFAULT_BLOCK,
+    interpret: bool = False,
+):
+    """elastic_net_cd_pallas with in-kernel gram/Xty builds.  Valid when the
+    full row axis is device-local; the caller falls back otherwise."""
+    from insider_tpu.kernels.fss_pallas import _auto_block_fused
+
+    N, K = R.shape
+    M = mask.shape[1]
+    BM = _auto_block_fused(K, N, block, M)
+    Mp = ((M + BM - 1) // BM) * BM
+    if Mp != M:
+        pad = Mp - M
+        mask = jnp.pad(mask, ((0, 0), (0, pad)))
+        wx = jnp.pad(wx, ((0, 0), (0, pad)))
+        beta0 = jnp.pad(beta0, ((0, 0), (0, pad)))
+
+    fscal = jnp.stack([
+        jnp.asarray(lam, jnp.float32),
+        jnp.asarray(alpha, jnp.float32),
+        jnp.asarray(tol, jnp.float32),
+    ])
+    kernel = functools.partial(
+        _cd_fused_kernel, K=K, N=N, max_sweeps=max_sweeps,
+        use_strong_rule=use_strong_rule,
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(Mp // BM,),
+        in_specs=[
+            pl.BlockSpec((N, BM), lambda i, *_: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((N, BM), lambda i, *_: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((N, K), lambda i, *_: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((K, BM), lambda i, *_: (0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((K, BM), lambda i, *_: (0, i),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((K, K, BM), jnp.float32),   # gram
+            pltpu.VMEM((K, BM), jnp.float32),      # diag
+            pltpu.VMEM((K, BM), jnp.float32),      # s
+            pltpu.VMEM((K, BM), jnp.float32),      # active
+            pltpu.VMEM((1, BM), jnp.float32),      # converged
+        ],
+    )
+    beta = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((K, Mp), jnp.float32),
+        interpret=interpret,
+    )(fscal, mask, wx, R, beta0)
+    return beta[:, :M]
 
 
 @functools.partial(

@@ -220,6 +220,21 @@ def _fss_compute(fscal_ref, xtx_ref, xty, beta0, out_ref,
                        (jnp.int32(0), jnp.bool_(False)))
 
 
+def _masked_gram_dot(pr_t, mask_blk):
+    """(A, N) @ (N, BM) against a 0/1 mask block: Mosaic cannot lower
+    per-operand dot precision, so split the real-valued lhs into three bf16
+    planes (8+8+8 mantissa bits cover f32's 24 exactly) against the
+    exact-bf16 mask — 3 MXU passes, f32-lhs-exact result."""
+    m16 = mask_blk.astype(jnp.bfloat16)
+    hi = pr_t.astype(jnp.bfloat16)
+    r1 = pr_t - hi.astype(jnp.float32)
+    mid = r1.astype(jnp.bfloat16)
+    lo = (r1 - mid.astype(jnp.float32)).astype(jnp.bfloat16)
+    acc = jnp.dot(hi, m16, preferred_element_type=jnp.float32)
+    acc = acc + jnp.dot(mid, m16, preferred_element_type=jnp.float32)
+    return acc + jnp.dot(lo, m16, preferred_element_type=jnp.float32)
+
+
 def _fss_fused_kernel(fscal_ref, mask_ref, wx_ref, r_ref, beta0_ref, out_ref,
                       gram_s, u_s, rhs_s, theta_s, act_s, conv_s,
                       *, K: int, N: int, max_outer: int,
@@ -230,12 +245,13 @@ def _fss_fused_kernel(fscal_ref, mask_ref, wx_ref, r_ref, beta0_ref, out_ref,
     scale).  The mask operand is exact in bf16, so the gram matmul uses the
     same per-operand precision as ops/col_update.py."""
     r = r_ref[:]                                            # (N, K)
-    PR = (r[:, :, None] * r[:, None, :]).reshape(N, K * K)
-    g = jnp.dot(PR.T, mask_ref[:],
-                precision=(lax.Precision.HIGHEST, lax.Precision.DEFAULT),
-                preferred_element_type=jnp.float32)         # (K^2, BM)
+    # (K^2, N) outer-product table by sublane concatenation (Mosaic cannot
+    # shape-cast a lane-dim collapse like (N, K, K) -> (N, K^2)).
+    rt = r.T                                                # (K, N)
+    pr_t = jnp.concatenate([rt * rt[k:k + 1, :] for k in range(K)], axis=0)
+    g = _masked_gram_dot(pr_t, mask_ref[:])                 # (K^2, BM)
     gram_s[:] = g.reshape(K, K, g.shape[-1])
-    xty = jnp.dot(r.T, wx_ref[:], precision=lax.Precision.HIGHEST,
+    xty = jnp.dot(rt, wx_ref[:], precision=lax.Precision.HIGHEST,
                   preferred_element_type=jnp.float32)       # (K, BM)
     _fss_compute(fscal_ref, gram_s, xty, beta0_ref[:], out_ref,
                  u_s, rhs_s, theta_s, act_s, conv_s,
@@ -246,9 +262,12 @@ def _auto_block_fused(K: int, N: int, block: int, M: int) -> int:
     """VMEM-fitting column block for the gram-fused kernel: gram scratch +
     GJ workspace (2*K^2 lanes), ~7 (K, BM) vectors, and double-buffered
     (N, BM) mask + wx blocks, plus the fixed (N, K^2) outer-product table."""
+    # Budget 9 MB of the 16 MB scoped limit: the measured flagship footprint
+    # at BM=1024 was 16.74 MB (compiler-reported), i.e. ~4 KB/lane beyond
+    # the accounted tensors (bf16 gram-split planes, pipeline copies).
     fixed = N * K * K * 4 + 2 * N * K * 4
     per_lane = (2 * K * K + 7 * K + 2) * 4 + 4 * N * 4
-    cap = max(128, ((12 * 1024 * 1024 - fixed) // per_lane // 128) * 128)
+    cap = max(128, ((9 * 1024 * 1024 - fixed) // per_lane // 128) * 128)
     want = min(block, max(128, 1 << (M - 1).bit_length()))
     return max(128, min(want, cap))
 

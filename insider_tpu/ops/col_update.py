@@ -343,7 +343,10 @@ def update_columns_masked(
                                        use_strong_rule=False)
         return F, key, outers
     if use_pallas:
-        from insider_tpu.kernels.cd_pallas import elastic_net_cd_pallas
+        from insider_tpu.kernels.cd_pallas import (
+            elastic_net_cd_fused_pallas,
+            elastic_net_cd_pallas,
+        )
         # Randomize coordinate order by permuting R's columns (one order per
         # update, shared across sweeps — see cd_pallas docstring), then
         # un-permute the solution.
@@ -352,9 +355,19 @@ def update_columns_masked(
         perm = jax.random.permutation(sub, K)
         inv = jnp.argsort(perm)
         Rp = R[:, perm]
+        beta0 = F_prev[perm]
+        rows_local = mesh is None or dict(mesh.shape).get("rows", 1) == 1
+        if rows_local:
+            # Gram-fused variant (see the fss branch above).
+            F = _shard_cols_fused(
+                mesh,
+                lambda mk, w, r, b0: elastic_net_cd_fused_pallas(
+                    mk, w, r, b0, lam, alpha, tol, max_sweeps),
+                mask, masked_data, Rp, beta0,
+            )
+            return F[inv], key, jnp.int32(-4)
         XtXt = col_gram_masked_t(Rp, mask)              # (K, K, M)
         Xty_p = jnp.matmul(Rp.T, masked_data, precision=HIGHEST)
-        beta0 = F_prev[perm]
         F = _shard_cols(
             mesh,
             lambda xt, xy, b0: elastic_net_cd_pallas(

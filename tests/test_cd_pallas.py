@@ -121,15 +121,24 @@ def test_update_columns_pallas_dispatch_matches_jnp_optimum():
         kw["interpret"] = True
         return orig(*args, **kw)
 
+    orig_fused = cdp.elastic_net_cd_fused_pallas
+
+    def interp_fused(*args, **kw):
+        kw["interpret"] = True
+        return orig_fused(*args, **kw)
+
     try:
         cdp.elastic_net_cd_pallas = interp
-        Fp, _, _ = col_update.update_columns_masked(
+        cdp.elastic_net_cd_fused_pallas = interp_fused
+        Fp, _, tag = col_update.update_columns_masked(
             jnp.asarray(data), jnp.asarray(mask), jnp.asarray(R),
             jnp.asarray(F0), lam, alpha, jnp.float32(1e-9),
             jax.random.PRNGKey(7), max_sweeps=60, use_pallas=True,
         )
     finally:
         cdp.elastic_net_cd_pallas = orig
+        cdp.elastic_net_cd_fused_pallas = orig_fused
+    assert int(tag) == -4  # the gram-fused CD path ran
     Fj, _, _ = col_update.update_columns_masked(
         jnp.asarray(data), jnp.asarray(mask), jnp.asarray(R),
         jnp.asarray(F0), lam, alpha, jnp.float32(1e-9),
@@ -137,3 +146,26 @@ def test_update_columns_pallas_dispatch_matches_jnp_optimum():
     )
     np.testing.assert_allclose(np.asarray(Fp), np.asarray(Fj), rtol=5e-3,
                                atol=1e-4)
+
+
+def test_cd_fused_gram_variant_matches_streamed():
+    from insider_tpu.kernels.cd_pallas import (elastic_net_cd_fused_pallas,
+                                               elastic_net_cd_pallas)
+    from insider_tpu.ops.col_update import col_gram_masked_t
+
+    rng = np.random.default_rng(9)
+    N, K, M = 50, 6, 640
+    R = jnp.asarray(rng.standard_normal((N, K)), jnp.float32)
+    mask = jnp.asarray(rng.random((N, M)) > 0.1, jnp.float32)
+    data = jnp.asarray(rng.standard_normal((N, M)), jnp.float32)
+    wx = mask * data
+    Xty = jnp.matmul(R.T, wx, precision=jax.lax.Precision.HIGHEST)
+    beta0 = jnp.asarray(rng.standard_normal((K, M)) * 0.01, jnp.float32)
+    XtXt = col_gram_masked_t(R, mask)
+    a = elastic_net_cd_pallas(XtXt, Xty, beta0, 2.0, 0.5, jnp.float32(1e-9),
+                              max_sweeps=60, interpret=True, block=512)
+    b = elastic_net_cd_fused_pallas(mask, wx, R, beta0, 2.0, 0.5,
+                                    jnp.float32(1e-9), max_sweeps=60,
+                                    interpret=True, block=512)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-5,
+                               atol=1e-5)

@@ -14,13 +14,14 @@ from insider_tpu.sharding.mesh import make_mesh
 
 @pytest.fixture()
 def interp_kernel(monkeypatch):
-    orig = cdp.elastic_net_cd_pallas
+    for name in ("elastic_net_cd_pallas", "elastic_net_cd_fused_pallas"):
+        orig = getattr(cdp, name)
 
-    def interp(*args, **kw):
-        kw["interpret"] = True
-        return orig(*args, **kw)
+        def interp(*args, _orig=orig, **kw):
+            kw["interpret"] = True
+            return _orig(*args, **kw)
 
-    monkeypatch.setattr(cdp, "elastic_net_cd_pallas", interp)
+        monkeypatch.setattr(cdp, name, interp)
     yield
 
 

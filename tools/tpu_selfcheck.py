@@ -102,7 +102,10 @@ def main():
 
     import insider_tpu as it
     from insider_tpu.kernels.cd_pallas import elastic_net_cd_pallas
-    from insider_tpu.kernels.fss_pallas import feature_sign_pallas
+    from insider_tpu.kernels.fss_pallas import (
+        feature_sign_fused_pallas,
+        feature_sign_pallas,
+    )
     from insider_tpu.ops import col_update
     from insider_tpu.ops.col_update import CDState, _kkt_violations, _sweep
     from insider_tpu.ops.fss import feature_sign_batched
@@ -235,9 +238,26 @@ def main():
     cd_tight = np.asarray(jax.block_until_ready(
         elastic_net_cd_pallas(XtXt, Xty, beta0, LAMBDA, ALPHA,
                               jnp.float32(1e-10), max_sweeps=400)))
+    # The driver's actual path on one chip is the GRAM-FUSED variant
+    # (ops/col_update.py rows_local dispatch): gram + Xty built in VMEM.
+    wxj = maskj * jnp.asarray(data)
     fss_pol = np.asarray(jax.block_until_ready(
+        feature_sign_fused_pallas(maskj, wxj, Rj, beta0, LAMBDA, ALPHA,
+                                  max_outer=48, polish_sweeps=64,
+                                  tol=jnp.float32(1e-10))))
+    # Streamed-gram variant on the same problem: hardware fused==streamed.
+    fss_streamed = np.asarray(jax.block_until_ready(
         feature_sign_pallas(XtXt, Xty, beta0, LAMBDA, ALPHA, max_outer=48,
                             polish_sweeps=64, tol=jnp.float32(1e-10))))
+    obj_fu = _objective_f64(R, mask, data, fss_pol, LAMBDA, ALPHA)
+    obj_st = _objective_f64(R, mask, data, fss_streamed, LAMBDA, ALPHA)
+    stream_gap = float(np.max(np.abs(obj_fu - obj_st)
+                              / np.maximum(obj_st, 1.0)))
+    stream_ok = stream_gap < 2e-4
+    report["checks"]["fused_gram_vs_streamed_kernel"] = {
+        "max_rel_obj_gap": stream_gap, "pass": stream_ok,
+    }
+    ok_all &= stream_ok
     # Two-stage reference: unpolished kernel output + standalone CD polish.
     fss_two_stage = np.asarray(jax.block_until_ready(
         elastic_net_cd_pallas(XtXt, Xty, jnp.asarray(fss_hw), LAMBDA, ALPHA,
