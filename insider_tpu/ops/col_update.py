@@ -293,9 +293,12 @@ def update_columns_masked(
         alpha_is_zero = alpha == 0.0
     if masked_data is None:
         masked_data = mask * data
-    Xty = jnp.matmul(R.T, masked_data, precision=HIGHEST)  # (K, M)
+    # NOTE: Xty is only needed by the non-fused paths; the gram-fused Pallas
+    # kernels build it in VMEM.  Compute it lazily so an eager caller on a
+    # fused path never pays the (K,N)@(N,M) matmul (ADVICE r3).
     if alpha_is_zero:
         from insider_tpu.ops.row_update import _ridge_solve_batched
+        Xty = jnp.matmul(R.T, masked_data, precision=HIGHEST)  # (K, M)
         XtX = col_gram_masked(R, mask)                  # (M, K, K)
         F = _ridge_solve_batched(XtX, Xty.T, lam).T
         return F, key, jnp.int32(0)
@@ -323,6 +326,7 @@ def update_columns_masked(
                     mask, masked_data, R, F_prev,
                 )
                 return F, key, jnp.int32(-3)
+            Xty = jnp.matmul(R.T, masked_data, precision=HIGHEST)
             XtXt = col_gram_masked_t(R, mask)           # (K, K, M)
             F = _shard_cols(
                 mesh,
@@ -334,6 +338,7 @@ def update_columns_masked(
             return F, key, jnp.int32(-2)
         from insider_tpu.ops.fss import feature_sign_batched
 
+        Xty = jnp.matmul(R.T, masked_data, precision=HIGHEST)
         XtX = col_gram_masked(R, mask)
         F, outers = feature_sign_batched(XtX, Xty, F_prev, lam, alpha,
                                          max_fss_outer)
@@ -375,6 +380,7 @@ def update_columns_masked(
             XtXt, Xty_p, beta0,
         )
         return F[inv], key, jnp.int32(-1)
+    Xty = jnp.matmul(R.T, masked_data, precision=HIGHEST)
     XtX = col_gram_masked(R, mask)
     return elastic_net_cd(XtX, Xty, F_prev, lam, alpha, tol, key, max_sweeps)
 
