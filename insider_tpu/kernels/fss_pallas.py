@@ -56,17 +56,40 @@ def _fss_kernel(fscal_ref, xtx_ref, xty_ref, beta0_ref, out_ref,
                  K=K, max_outer=max_outer, polish_sweeps=polish_sweeps)
 
 
+def _fss_shared_kernel(fscal_ref, xtx_ref, xty_ref, beta0_ref, out_ref,
+                       u_s, rhs_s, theta_s, act_s, conv_s,
+                       *, K: int, max_outer: int, polish_sweeps: int = 0):
+    _fss_compute(fscal_ref, xtx_ref, xty_ref[:], beta0_ref[:], out_ref,
+                 u_s, rhs_s, theta_s, act_s, conv_s,
+                 K=K, max_outer=max_outer, polish_sweeps=polish_sweeps,
+                 shared_gram=True)
+
+
 def _fss_compute(fscal_ref, xtx_ref, xty, beta0, out_ref,
                  u_s, rhs_s, theta_s, act_s, conv_s,
-                 *, K: int, max_outer: int, polish_sweeps: int = 0):
+                 *, K: int, max_outer: int, polish_sweeps: int = 0,
+                 shared_gram: bool = False):
     """Kernel core: xtx_ref may be a streamed input block or a VMEM scratch
-    the caller filled (the gram-fused variant); xty/beta0 are values."""
+    the caller filled (the gram-fused variant); xty/beta0 are values.
+
+    shared_gram=True: xtx_ref is ONE (K, K) gram shared by every column
+    (the dense path) — broadcast in-kernel; the GJ workspace stays
+    per-column (active sets differ per column) but no (K, K, M) tensor
+    ever exists in HBM (VERDICT r3 weak #8)."""
     lam = fscal_ref[0]
     alpha = fscal_ref[1]
     l1 = lam * alpha
     l2 = lam * (1.0 - alpha)
 
     BM = xty.shape[-1]
+
+    def gram_times(beta):
+        """XtX @ beta per column, for either gram layout."""
+        if shared_gram:
+            return jnp.dot(xtx_ref[:], beta,
+                           precision=lax.Precision.HIGHEST,
+                           preferred_element_type=jnp.float32)
+        return jnp.sum(xtx_ref[:] * beta[None, :, :], axis=1)
 
     beta = beta0
     out_ref[:] = beta
@@ -84,7 +107,11 @@ def _fss_compute(fscal_ref, xtx_ref, xty, beta0, out_ref,
         # --- masked system build: U = A restricted to the active set,
         # identity elsewhere; A = XtX + l2 I ---
         # row mask act_i: (K, 1, BM); col mask act_j: (1, K, BM)
-        u_s[:] = xtx_ref[:] * act[:, None, :] * act[None, :, :]
+        if shared_gram:
+            u_s[:] = (xtx_ref[:][:, :, None] * act[:, None, :]
+                      * act[None, :, :])
+        else:
+            u_s[:] = xtx_ref[:] * act[:, None, :] * act[None, :, :]
         rhs_s[:] = (xty - l1 * theta) * act
         # diagonal: active += l2, inactive = 1 (static unroll over K)
         for k in range(K):
@@ -131,8 +158,7 @@ def _fss_compute(fscal_ref, xtx_ref, xty, beta0, out_ref,
 
         # --- KKT: single-violator activation on solved columns ---
         solved = (t >= 1.0).astype(jnp.float32) * live  # (1, BM)
-        grad = (jnp.sum(xtx_ref[:] * beta[None, :, :], axis=1)
-                + l2 * beta - xty)                     # (K, BM)
+        grad = gram_times(beta) + l2 * beta - xty      # (K, BM)
         # f32 KKT slack scaled by |b| (see ops/fss.py): prevents boundary
         # coordinates from oscillating activate/deactivate forever.
         scale = jnp.max(jnp.abs(xty), axis=0, keepdims=True)
@@ -179,34 +205,49 @@ def _fss_compute(fscal_ref, xtx_ref, xty, beta0, out_ref,
         tol = fscal_ref[2]
         beta = out_ref[:]
         # reuse scratch: act_s <- diag, rhs_s <- s = XtX @ beta
-        act_s[:] = jnp.concatenate(
-            [xtx_ref[k, k, :][None] for k in range(K)], axis=0
-        )
-        rhs_s[:] = jnp.sum(xtx_ref[:] * beta[None, :, :], axis=1)
+        if shared_gram:
+            ones_row = jnp.ones((1, BM), jnp.float32)
+            act_s[:] = jnp.concatenate(
+                [xtx_ref[k, k:k + 1] * ones_row for k in range(K)], axis=0
+            )
+        else:
+            act_s[:] = jnp.concatenate(
+                [xtx_ref[k, k, :][None] for k in range(K)], axis=0
+            )
+        rhs_s[:] = gram_times(beta)
         conv_s[:] = jnp.zeros((1, BM), jnp.float32)
+
+        # hoisted invariants (see cd_pallas.py: no per-coordinate divides)
+        d_all = act_s[:]                                        # (K, BM)
+        denom_all = d_all + l2
+        denom_all = jnp.where(denom_all > 0.0, denom_all, 1.0)
+        inv_denom = 1.0 / denom_all
+        half_denom = 0.5 * denom_all
+        inv_l1 = 1.0 / jnp.maximum(l1, 1e-30)
 
         def polish_body(carry):
             sweep, _ = carry
             conv = conv_s[:]
             dec = jnp.zeros((1, BM), jnp.float32)
             for k in range(K):
-                d = act_s[k:k + 1, :]
                 b_k = out_ref[k:k + 1, :]
-                u = xty[k:k + 1, :] - rhs_s[k:k + 1, :] + b_k * d
-                denom = d + l2
-                denom = jnp.where(denom > 0.0, denom, 1.0)
+                u = (xty[k:k + 1, :] - rhs_s[k:k + 1, :]
+                     + b_k * d_all[k:k + 1, :])
                 w = (jnp.sign(u) * jnp.maximum(jnp.abs(u) - l1, 0.0)
-                     / denom)
+                     * inv_denom[k:k + 1, :])
                 w = jnp.where(conv > 0.5, b_k, w)
                 delta = w - b_k
                 # cancellation-free decrease (see cd_pallas.py)
                 xi = jnp.where(
                     w != 0.0, jnp.sign(w),
-                    jnp.clip(u / jnp.maximum(l1, 1e-30), -1.0, 1.0),
+                    jnp.clip(u * inv_l1, -1.0, 1.0),
                 )
-                dec = dec + (0.5 * denom * delta * delta
+                dec = dec + (half_denom[k:k + 1, :] * delta * delta
                              + l1 * (jnp.abs(b_k) - xi * b_k))
-                rhs_s[:] = rhs_s[:] + xtx_ref[k] * delta
+                if shared_gram:
+                    rhs_s[:] = rhs_s[:] + xtx_ref[:, k:k + 1] * delta
+                else:
+                    rhs_s[:] = rhs_s[:] + xtx_ref[k] * delta
                 out_ref[k:k + 1, :] = w
             conv_s[:] = jnp.maximum(
                 conv, (jnp.abs(dec) <= tol).astype(jnp.float32))
@@ -225,17 +266,50 @@ def _masked_gram_dot(pr_t, mask_blk):
     per-operand dot precision, so split the real-valued lhs into three bf16
     planes (8+8+8 mantissa bits cover f32's 24 exactly) against the
     exact-bf16 mask — 3 MXU passes, f32-lhs-exact result."""
-    m16 = mask_blk.astype(jnp.bfloat16)
-    hi = pr_t.astype(jnp.bfloat16)
-    r1 = pr_t - hi.astype(jnp.float32)
+    hi, mid, lo = _bf16_planes(pr_t)
+    return _planes_dot(hi, mid, lo, mask_blk)
+
+
+def _bf16_planes(x):
+    """Exact 3-way bf16 split of an f32 array (hi + mid + lo == x)."""
+    hi = x.astype(jnp.bfloat16)
+    r1 = x - hi.astype(jnp.float32)
     mid = r1.astype(jnp.bfloat16)
     lo = (r1 - mid.astype(jnp.float32)).astype(jnp.bfloat16)
+    return hi, mid, lo
+
+
+def _planes_dot(hi, mid, lo, mask_blk):
+    m16 = mask_blk.astype(jnp.bfloat16)
     acc = jnp.dot(hi, m16, preferred_element_type=jnp.float32)
     acc = acc + jnp.dot(mid, m16, preferred_element_type=jnp.float32)
     return acc + jnp.dot(lo, m16, preferred_element_type=jnp.float32)
 
 
+def _build_gram_table(r_ref, tabhi_s, tabmid_s, tablo_s, rt_s, K: int):
+    """Fill the (K^2, N) outer-product table's bf16 planes + R^T — once, at
+    grid step 0 (scratch persists across the sequential TPU grid; the table
+    depends only on R, not the column block, so rebuilding it per block
+    wasted VPU time — PROFILE_r04)."""
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _():
+        r = r_ref[:]                                        # (N, K)
+        rt = r.T                                            # (K, N)
+        rt_s[:] = rt
+        # (K^2, N) by sublane concatenation (Mosaic cannot shape-cast a
+        # lane-dim collapse like (N, K, K) -> (N, K^2)).
+        pr_t = jnp.concatenate([rt * rt[k:k + 1, :] for k in range(K)],
+                               axis=0)
+        hi, mid, lo = _bf16_planes(pr_t)
+        tabhi_s[:] = hi
+        tabmid_s[:] = mid
+        tablo_s[:] = lo
+
+
 def _fss_fused_kernel(fscal_ref, mask_ref, wx_ref, r_ref, beta0_ref, out_ref,
+                      tabhi_s, tabmid_s, tablo_s, rt_s,
                       gram_s, u_s, rhs_s, theta_s, act_s, conv_s,
                       *, K: int, N: int, max_outer: int,
                       polish_sweeps: int = 0):
@@ -244,30 +318,56 @@ def _fss_fused_kernel(fscal_ref, mask_ref, wx_ref, r_ref, beta0_ref, out_ref,
     streamed variant costs a ~100 MB write + read per iteration at flagship
     scale).  The mask operand is exact in bf16, so the gram matmul uses the
     same per-operand precision as ops/col_update.py."""
-    r = r_ref[:]                                            # (N, K)
-    # (K^2, N) outer-product table by sublane concatenation (Mosaic cannot
-    # shape-cast a lane-dim collapse like (N, K, K) -> (N, K^2)).
-    rt = r.T                                                # (K, N)
-    pr_t = jnp.concatenate([rt * rt[k:k + 1, :] for k in range(K)], axis=0)
-    g = _masked_gram_dot(pr_t, mask_ref[:])                 # (K^2, BM)
+    _build_gram_table(r_ref, tabhi_s, tabmid_s, tablo_s, rt_s, K)
+    g = _planes_dot(tabhi_s[:], tabmid_s[:], tablo_s[:],
+                    mask_ref[:])                            # (K^2, BM)
     gram_s[:] = g.reshape(K, K, g.shape[-1])
-    xty = jnp.dot(rt, wx_ref[:], precision=lax.Precision.HIGHEST,
+    xty = jnp.dot(rt_s[:], wx_ref[:], precision=lax.Precision.HIGHEST,
                   preferred_element_type=jnp.float32)       # (K, BM)
     _fss_compute(fscal_ref, gram_s, xty, beta0_ref[:], out_ref,
                  u_s, rhs_s, theta_s, act_s, conv_s,
                  K=K, max_outer=max_outer, polish_sweeps=polish_sweeps)
 
 
-def _auto_block_fused(K: int, N: int, block: int, M: int) -> int:
-    """VMEM-fitting column block for the gram-fused kernel: gram scratch +
-    GJ workspace (2*K^2 lanes), ~7 (K, BM) vectors, and double-buffered
-    (N, BM) mask + wx blocks, plus the fixed (N, K^2) outer-product table."""
-    # Budget 9 MB of the 16 MB scoped limit: the measured flagship footprint
-    # at BM=1024 was 16.74 MB (compiler-reported), i.e. ~4 KB/lane beyond
-    # the accounted tensors (bf16 gram-split planes, pipeline copies).
-    fixed = N * K * K * 4 + 2 * N * K * 4
-    per_lane = (2 * K * K + 7 * K + 2) * 4 + 4 * N * 4
-    cap = max(128, ((9 * 1024 * 1024 - fixed) // per_lane // 128) * 128)
+def _fused_vmem_model(K: int, N: int, gj_scratch: bool = True):
+    """(fixed_bytes, bytes_per_lane) of the gram-fused kernels' VMEM
+    residency, from the actual tensors (ADVICE r3 — the old model patched a
+    wrong estimate with an empirical budget):
+
+    fixed: the (K^2, N) f32 outer-product table (transient at grid step 0)
+    + its three bf16 split planes + R^T scratch + the (N, K) R input
+    buffer x2.
+    per lane: mask + wx input blocks double-buffered f32 (16N), the bf16
+    mask copy (2N), beta0 in x2 + out x2 (16K), the (K^2,) gram dot output
+    + gram scratch (+ GJ workspace for FSS), ~7 (K,) vectors, (1,) conv.
+
+    Flagship check (K=24, N=377): model gives 16.95 MB at BM=1024 vs
+    16.74 MB compiler-reported — within ~1.5%.
+    """
+    fixed = N * K * K * (4 + 3 * 2) + 3 * N * K * 4
+    n_big = 3 if gj_scratch else 2      # g-out + gram scratch (+ GJ U)
+    per_lane = 18 * N + 4 * (n_big * K * K + 7 * K + 1)
+    return fixed, per_lane
+
+
+_FUSED_VMEM_BUDGET = 13 * 1024 * 1024
+
+
+def fused_feasible(K: int, N: int, gj_scratch: bool = True) -> bool:
+    """Can the gram-fused kernel run at this (K, N) with a >=128-lane
+    block?  The dispatch (ops/col_update.py) falls back to the streamed
+    kernel when not — previously a negative budget silently clamped to
+    BM=128 and failed at compile time (ADVICE r3)."""
+    fixed, per_lane = _fused_vmem_model(K, N, gj_scratch)
+    return _FUSED_VMEM_BUDGET - fixed >= 128 * per_lane
+
+
+def _auto_block_fused(K: int, N: int, block: int, M: int,
+                      gj_scratch: bool = True) -> int:
+    """VMEM-fitting column block for the gram-fused kernels (callers must
+    check fused_feasible first)."""
+    fixed, per_lane = _fused_vmem_model(K, N, gj_scratch)
+    cap = max(128, ((_FUSED_VMEM_BUDGET - fixed) // per_lane // 128) * 128)
     want = min(block, max(128, 1 << (M - 1).bit_length()))
     return max(128, min(want, cap))
 
@@ -325,6 +425,10 @@ def feature_sign_fused_pallas(
         out_specs=pl.BlockSpec((K, BM), lambda i, *_: (0, i),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
+            pltpu.VMEM((K * K, N), jnp.bfloat16),  # gram table hi plane
+            pltpu.VMEM((K * K, N), jnp.bfloat16),  # gram table mid plane
+            pltpu.VMEM((K * K, N), jnp.bfloat16),  # gram table lo plane
+            pltpu.VMEM((K, N), jnp.float32),       # R^T
             pltpu.VMEM((K, K, BM), jnp.float32),   # gram
             pltpu.VMEM((K, K, BM), jnp.float32),   # U (GJ workspace)
             pltpu.VMEM((K, BM), jnp.float32),      # rhs / beta*
@@ -339,6 +443,69 @@ def feature_sign_fused_pallas(
         out_shape=jax.ShapeDtypeStruct((K, Mp), jnp.float32),
         interpret=interpret,
     )(fscal, mask, wx, R, beta0)
+    return beta[:, :M]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("max_outer", "block", "interpret", "polish_sweeps"),
+)
+def feature_sign_shared_pallas(
+    xtx: jax.Array,      # (K, K) gram shared by ALL columns
+    xty: jax.Array,      # (K, M)
+    beta0: jax.Array,    # (K, M) warm start
+    lam,
+    alpha,
+    max_outer: int = 48,
+    block: int = DEFAULT_BLOCK,
+    interpret: bool = False,
+    polish_sweeps: int = 0,
+    tol=0.0,
+):
+    """Dense-path FSS: one (K, K) gram broadcast in-kernel (VERDICT r3 weak
+    #8 — replaces the (K, K, M) jnp.broadcast_to through HBM).  The GJ
+    workspace remains per-column (active sets differ per column)."""
+    K, M = xty.shape
+    BM = _auto_block(K, block, M, big_tensors=1)   # GJ scratch only
+    Mp = ((M + BM - 1) // BM) * BM
+    if Mp != M:
+        pad = Mp - M
+        xty = jnp.pad(xty, ((0, 0), (0, pad)))
+        beta0 = jnp.pad(beta0, ((0, 0), (0, pad)))
+
+    fscal = jnp.stack([jnp.asarray(lam, jnp.float32),
+                       jnp.asarray(alpha, jnp.float32),
+                       jnp.asarray(tol, jnp.float32)])
+
+    kernel = functools.partial(_fss_shared_kernel, K=K, max_outer=max_outer,
+                               polish_sweeps=polish_sweeps)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(Mp // BM,),
+        in_specs=[
+            pl.BlockSpec((K, K), lambda i, *_: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((K, BM), lambda i, *_: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((K, BM), lambda i, *_: (0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((K, BM), lambda i, *_: (0, i),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((K, K, BM), jnp.float32),   # U (GJ workspace)
+            pltpu.VMEM((K, BM), jnp.float32),      # rhs / beta*
+            pltpu.VMEM((K, BM), jnp.float32),      # theta
+            pltpu.VMEM((K, BM), jnp.float32),      # active
+            pltpu.VMEM((1, BM), jnp.float32),      # converged
+        ],
+    )
+    beta = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((K, Mp), jnp.float32),
+        interpret=interpret,
+    )(fscal, xtx, xty, beta0)
     return beta[:, :M]
 
 

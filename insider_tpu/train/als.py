@@ -346,14 +346,19 @@ def _precompute_row_constants(data, mask, codes, n_levels, ctns, masked
                       ctns_dc=dc, ctns_cc=cc)
 
 
-def _shard_row_xty(mesh, E, R_minus, mask, F):
+def _shard_row_xty(mesh, E, R_minus, mask, D, F):
     """row_xty_pallas over the mesh: each device contributes its local
     (rows-block x cols-block) partial of the (L, K) contraction; psum over
-    both axes finishes it (kernels are not GSPMD-partitionable)."""
+    both axes finishes it (kernels are not GSPMD-partitionable).
+
+    D (the constant E^T(mask .* data)) is subtracted inside the kernel
+    before the (L, K) contraction (cancellation fix, kernels/row_pallas.py);
+    with R row shards each shard carries D/R so the psum restores D exactly
+    up to one ulp (exact for power-of-two R)."""
     from insider_tpu.kernels.row_pallas import row_xty_pallas
 
     if mesh is None:
-        return row_xty_pallas(E, R_minus, mask, F)
+        return row_xty_pallas(E, R_minus, mask, D, F)
     from jax.sharding import PartitionSpec as P
 
     try:
@@ -361,16 +366,17 @@ def _shard_row_xty(mesh, E, R_minus, mask, F):
     except ImportError:
         from jax.experimental.shard_map import shard_map
 
+    inv_rows = 1.0 / dict(mesh.shape).get("rows", 1)
     fn = shard_map(
-        lambda e, r, m, f: lax.psum(row_xty_pallas(e, r, m, f),
-                                    ("rows", "cols")),
+        lambda e, r, m, d, f: lax.psum(
+            row_xty_pallas(e, r, m, d * inv_rows, f), ("rows", "cols")),
         mesh=mesh,
         in_specs=(P("rows", None), P("rows", None), P("rows", "cols"),
-                  P(None, "cols")),
+                  P(None, "cols"), P(None, "cols")),
         out_specs=P(None, None),
         check_vma=False,
     )
-    return fn(E, R_minus, mask, F)
+    return fn(E, R_minus, mask, D, F)
 
 
 def _shard_level_gram(mesh, mw_cat, F):
@@ -440,11 +446,22 @@ def _als_iteration(arrays: ProblemArrays, statics: ProblemStatics,
     level_xtx: List[Optional[jax.Array]] = [None] * n_cfd
     # With Pallas available, the (L, K) Xty contraction and the level grams
     # run as fused kernels with no (N, M) / (K^2, M) HBM intermediates
-    # (kernels/row_pallas.py); Xty then assembles as DF_v - kernel_out where
-    # DF = D @ F^T uses the per-problem constant D = E^T(mask .* data).
-    use_row_kernels = (step_statics.use_pallas and masked
-                       and pre is not None)
-    df_of: List[Optional[jax.Array]] = [None] * n_cfd
+    # (kernels/row_pallas.py); the constant D = E^T(mask .* data) is
+    # subtracted inside the kernel (cancellation fix, ADVICE r3).  The
+    # kernels are VMEM-budgeted: large local row counts fall back to the
+    # jnp fast path instead of failing at compile time (ADVICE r3).
+    use_row_kernels = step_statics.use_pallas and masked and pre is not None
+    if use_row_kernels:
+        from insider_tpu.kernels.row_pallas import row_kernels_feasible
+
+        n_local_rows = arrays.data.shape[0]
+        if statics.mesh is not None:
+            n_local_rows = -(-n_local_rows
+                             // dict(statics.mesh.shape).get("rows", 1))
+        fast_levels = [statics.n_levels[v] for v in range(n_cfd)
+                       if pre.e[v] is not None]
+        use_row_kernels = bool(fast_levels) and row_kernels_feasible(
+            n_local_rows, fast_levels, F.shape[0])
     if masked and pre is not None:
         fast_v = [v for v in range(n_cfd) if pre.e[v] is not None]
         if fast_v:
@@ -454,17 +471,12 @@ def _als_iteration(arrays: ProblemArrays, statics: ProblemStatics,
             mw_cat = jnp.concatenate([pre.mw[v] for v in fast_v], axis=0)
             if use_row_kernels:
                 xtx_cat = _shard_level_gram(statics.mesh, mw_cat, F)
-                d_cat = jnp.concatenate([pre.d[v] for v in fast_v], axis=0)
-                df_cat = jnp.matmul(d_cat, F.T, precision=HIGHEST)
             else:
                 xtx_cat = level_gram_masked(mw_cat, F, factor_outer_table(F))
-                df_cat = None
             off = 0
             for v in fast_v:
                 L = statics.n_levels[v]
                 level_xtx[v] = xtx_cat[off:off + L]
-                if df_cat is not None:
-                    df_of[v] = df_cat[off:off + L]
                 off += L
 
     for v in range(n_cfd):
@@ -472,10 +484,10 @@ def _als_iteration(arrays: ProblemArrays, statics: ProblemStatics,
         fast = pre is not None and pre.e[v] is not None
         if masked:
             if fast and use_row_kernels:
-                tft = _shard_row_xty(statics.mesh, pre.e[v], R_minus, mask,
-                                     F)
+                xty = _shard_row_xty(statics.mesh, pre.e[v], R_minus, mask,
+                                     pre.d[v], F)
                 V = row_update._ridge_solve_batched(
-                    level_xtx[v], df_of[v] - tft, hypers.lam1)
+                    level_xtx[v], xty, hypers.lam1)
             elif fast:
                 V = row_update.update_row_factor_masked_fast(
                     pre.e[v], pre.mw[v], pre.d[v], mask, R_minus, F,

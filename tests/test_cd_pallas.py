@@ -169,3 +169,39 @@ def test_cd_fused_gram_variant_matches_streamed():
                                     interpret=True, block=512)
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-5,
                                atol=1e-5)
+
+
+def test_fused_feasibility_gate():
+    """The gram-fused kernels must refuse shapes whose VMEM residency
+    cannot fit even a 128-lane block (ADVICE r3: BASELINE-target row counts
+    previously died at compile time instead of falling back)."""
+    from insider_tpu.kernels.fss_pallas import fused_feasible
+
+    assert fused_feasible(24, 377)                      # flagship
+    assert fused_feasible(24, 377, gj_scratch=False)
+    assert not fused_feasible(24, 50_000)               # BASELINE config 4
+    assert not fused_feasible(32, 500_000)              # BASELINE config 5
+    assert not fused_feasible(24, 50_000, gj_scratch=False)
+
+
+def test_cd_shared_gram_matches_streamed():
+    """Dense path: the shared-(K,K)-gram kernel computes the same iteration
+    as the streamed kernel fed the broadcast (K,K,M) tensor."""
+    import jax
+    from insider_tpu.kernels.cd_pallas import elastic_net_cd_shared_pallas
+
+    rng = np.random.default_rng(11)
+    N, K, M = 60, 6, 700
+    R = jnp.asarray(rng.standard_normal((N, K)), jnp.float32)
+    data = jnp.asarray(rng.standard_normal((N, M)), jnp.float32)
+    XtX = jnp.matmul(R.T, R, precision=jax.lax.Precision.HIGHEST)
+    Xty = jnp.matmul(R.T, data, precision=jax.lax.Precision.HIGHEST)
+    beta0 = jnp.asarray(rng.standard_normal((K, M)) * 0.01, jnp.float32)
+    XtXt = jnp.broadcast_to(XtX[:, :, None], (K, K, M))
+    a = elastic_net_cd_pallas(XtXt, Xty, beta0, 2.0, 0.5, jnp.float32(1e-8),
+                              max_sweeps=80, interpret=True, block=512)
+    b = elastic_net_cd_shared_pallas(XtX, Xty, beta0, 2.0, 0.5,
+                                     jnp.float32(1e-8), max_sweeps=80,
+                                     interpret=True, block=512)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-5,
+                               atol=1e-5)

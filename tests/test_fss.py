@@ -348,3 +348,32 @@ def test_fused_gram_variant_in_driver_path():
         data, mask, R, F0, use_pallas=False, **kw)
     np.testing.assert_allclose(np.asarray(Fa), np.asarray(Fb), rtol=5e-3,
                                atol=5e-4)
+
+
+def test_fss_shared_gram_matches_streamed():
+    """Dense path: the shared-(K,K)-gram FSS kernel (incl. fused polish)
+    matches the streamed kernel fed the broadcast (K,K,M) tensor."""
+    import jax
+    import jax.numpy as jnp
+
+    from insider_tpu.kernels.fss_pallas import (
+        feature_sign_pallas,
+        feature_sign_shared_pallas,
+    )
+
+    rng = np.random.default_rng(12)
+    N, K, M = 60, 6, 700
+    R = jnp.asarray(rng.standard_normal((N, K)), jnp.float32)
+    data = jnp.asarray(rng.standard_normal((N, M)), jnp.float32)
+    XtX = jnp.matmul(R.T, R, precision=jax.lax.Precision.HIGHEST)
+    Xty = jnp.matmul(R.T, data, precision=jax.lax.Precision.HIGHEST)
+    beta0 = jnp.asarray(rng.standard_normal((K, M)) * 0.01, jnp.float32)
+    XtXt = jnp.broadcast_to(XtX[:, :, None], (K, K, M))
+    a = feature_sign_pallas(XtXt, Xty, beta0, 2.0, 0.5, 48,
+                            polish_sweeps=16, tol=jnp.float32(1e-8),
+                            interpret=True, block=512)
+    b = feature_sign_shared_pallas(XtX, Xty, beta0, 2.0, 0.5, 48,
+                                   polish_sweeps=16, tol=jnp.float32(1e-8),
+                                   interpret=True, block=512)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-5,
+                               atol=1e-5)

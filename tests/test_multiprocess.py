@@ -7,7 +7,7 @@ the boundary trajectory to match a single-process run of the same problem —
 the previously-untested multi-process branches of sharding/distributed.py.
 
 Skipped when subprocess spawning or the localhost coordinator is
-unavailable (e.g. restricted sandboxes); the committed MULTIPROC_r03.json
+unavailable (e.g. restricted sandboxes); the committed MULTIPROC_r04.json
 is the standing artifact from an unrestricted run.
 """
 
@@ -38,8 +38,15 @@ def test_two_process_matches_single_process(tmp_path):
             pytest.skip(f"multi-process bring-up unavailable: {out[-500:]}")
         pytest.fail(f"launcher failed (rc={proc.returncode}): {out[-2000:]}")
     result = json.loads(result_path.read_text())
-    assert result["multi"]["process_count"] == 2
-    assert result["multi"]["global_devices"] == 8
-    assert result["multi"]["local_devices"] == 4
-    assert result["worst_rel_gap"] <= result["rel_tol"], result
+    # both comm layouts: gene axis (1x8) AND sample axis (2x4) cross the
+    # process boundary (VERDICT r3 missing #4)
+    assert set(result["layouts"]) == {"1x8", "2x4"}
+    for name, lay in result["layouts"].items():
+        assert lay["multi"]["process_count"] == 2, name
+        assert lay["multi"]["global_devices"] == 8, name
+        assert lay["multi"]["local_devices"] == 4, name
+        assert lay["worst_rel_gap"] <= result["rel_tol"], (name, lay)
+    # (2x4): each process owns a row block (32 of 64 rows), all columns
+    assert result["layouts"]["2x4"]["multi"]["row_block"] == [0, 32]
+    assert result["layouts"]["2x4"]["multi"]["col_block"] == [0, 256]
     assert result["pass"], result

@@ -20,12 +20,14 @@ def test_row_xty_matches_jnp(N, L, K, M):
     E = jnp.asarray(np.eye(L, dtype=np.float32)[codes])
     R = jnp.asarray(rng.standard_normal((N, K)), jnp.float32)
     mask = jnp.asarray(rng.random((N, M)) > 0.1, jnp.float32)
+    data = jnp.asarray(rng.standard_normal((N, M)), jnp.float32)
     F = jnp.asarray(rng.standard_normal((K, M)), jnp.float32)
+    D = jnp.matmul(E.T, mask * data, precision=HI)
 
-    got = row_xty_pallas(E, R, mask, F, block=512, interpret=True)
+    got = row_xty_pallas(E, R, mask, D, F, block=512, interpret=True)
     P = jnp.matmul(R, F, precision=HI)
     T = jnp.matmul(E.T, mask * P, precision=HI)
-    want = jnp.matmul(T, F.T, precision=HI)
+    want = jnp.matmul(D - T, F.T, precision=HI)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=2e-5, atol=1e-3)
 
@@ -43,18 +45,31 @@ def test_level_gram_matches_jnp(L, K, M):
 
 
 def test_row_xty_padding_tail_block():
-    # M not a multiple of the block: padded columns are zero mask/F and must
-    # contribute nothing.
+    # M not a multiple of the block: padded columns are zero mask/D/F and
+    # must contribute nothing.
     rng = np.random.default_rng(2)
     N, L, K, M = 40, 5, 4, 700
     codes = rng.integers(0, L, N)
     E = jnp.asarray(np.eye(L, dtype=np.float32)[codes])
     R = jnp.asarray(rng.standard_normal((N, K)), jnp.float32)
     mask = jnp.asarray(rng.random((N, M)) > 0.2, jnp.float32)
+    data = jnp.asarray(rng.standard_normal((N, M)), jnp.float32)
     F = jnp.asarray(rng.standard_normal((K, M)), jnp.float32)
-    got = row_xty_pallas(E, R, mask, F, block=512, interpret=True)
+    D = jnp.matmul(E.T, mask * data, precision=HI)
+    got = row_xty_pallas(E, R, mask, D, F, block=512, interpret=True)
     P = jnp.matmul(R, F, precision=HI)
-    want = jnp.matmul(jnp.matmul(E.T, mask * P, precision=HI), F.T,
+    want = jnp.matmul(D - jnp.matmul(E.T, mask * P, precision=HI), F.T,
                       precision=HI)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=2e-5, atol=1e-3)
+
+
+def test_feasibility_gate():
+    from insider_tpu.kernels.row_pallas import row_kernels_feasible
+
+    # flagship shape: feasible
+    assert row_kernels_feasible(377, [2, 16, 8, 107], 24)
+    # BASELINE-target row counts: must report infeasible, not crash at
+    # compile time (ADVICE r3)
+    assert not row_kernels_feasible(50_000, [2, 16, 8, 107], 24)
+    assert not row_kernels_feasible(500_000, [100], 32)

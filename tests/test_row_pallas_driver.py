@@ -46,9 +46,8 @@ def problem_bits():
 
 def _kernel_path(mesh, E, mask, F, R_minus, Mw, D, lam):
     xtx = als._shard_level_gram(mesh, Mw, F)
-    df = jnp.matmul(D, F.T, precision=HI)
-    tft = als._shard_row_xty(mesh, E, R_minus, mask, F)
-    return row_update._ridge_solve_batched(xtx, df - tft, lam)
+    xty = als._shard_row_xty(mesh, E, R_minus, mask, D, F)
+    return row_update._ridge_solve_batched(xtx, xty, lam)
 
 
 def test_kernel_path_matches_jnp_fast_path(interp_kernels, problem_bits):
@@ -57,8 +56,10 @@ def test_kernel_path_matches_jnp_fast_path(interp_kernels, problem_bits):
     want = row_update.update_row_factor_masked_fast(
         E, Mw, D, mask, R_minus, F, lam)
     got = _kernel_path(None, E, mask, F, R_minus, Mw, D, lam)
+    # In-kernel D - T subtraction (ADVICE r3): the old two-contraction form
+    # needed rtol=5e-4; the cancellation-free kernel matches far tighter.
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
-                               rtol=5e-4, atol=5e-5)
+                               rtol=3e-5, atol=1e-5)
 
 
 def test_kernel_path_sharded_matches_unsharded(interp_kernels, problem_bits):

@@ -43,9 +43,15 @@ MAX_ITER = 30               # 3 check boundaries
 REL_TOL = 1e-5              # multi-process vs single-process agreement
 
 
-def build_and_fit(num_processes: int):
+def build_and_fit(num_processes: int, mesh_rows: int, mesh_cols: int):
     """Runs in the worker: build the globally-sharded problem from this
-    process's block only, fit, and return the boundary history."""
+    process's block only, fit, and return the boundary history.
+
+    mesh (1, 8): the gene axis crosses the process boundary (zero-comm CD;
+    psums over 'cols' for F F^T).  mesh (2, 4): the SAMPLE axis crosses it —
+    the per-level gram/Xty psums over 'rows' (train/als.py) ride gloo
+    between real processes, the data-parallel axis the 500k-row BASELINE
+    configs need (VERDICT r3 missing #4)."""
     import jax
 
     jax.config.update("jax_platforms", "cpu")
@@ -74,12 +80,14 @@ def build_and_fit(num_processes: int):
     split = it.ratio_splitter(sim.data.astype(np.float64), ratio=0.1,
                               rm_na_col=False)
 
-    cfg_sh = pod_sharding()     # (1, n_global_devices): gene-axis sharding
+    cfg_sh = pod_sharding(mesh_rows, mesh_cols)
     mesh = make_mesh(cfg_sh)
     (r0, r1), (c0, c1) = process_block(mesh, P("rows", "cols"),
                                        (N_ROWS, N_COLS))
-    assert num_processes == 1 or (c1 - c0) == N_COLS // num_processes, \
-        (c0, c1)
+    # The process's block must be a strict sub-block along whichever mesh
+    # axis crosses the process boundary.
+    assert (r1 - r0) * (c1 - c0) * num_processes == N_ROWS * N_COLS, \
+        (r0, r1, c0, c1)
 
     problem = als.build_problem_distributed(
         data=split.data[r0:r1, c0:c1].astype(np.float32),
@@ -100,6 +108,8 @@ def build_and_fit(num_processes: int):
         "process_count": jax.process_count(),
         "global_devices": len(jax.devices()),
         "local_devices": len(jax.local_devices()),
+        "mesh": [mesh_rows, mesh_cols],
+        "row_block": [int(r0), int(r1)],
         "col_block": [int(c0), int(c1)],
         "history": [
             {k: rec[k] for k in ("iter", "loss", "train_rmse", "test_rmse")}
@@ -125,13 +135,13 @@ def worker(args):
         up = initialize_distributed(args.coordinator, args.num_processes,
                                     args.process_id)
         assert up, "jax.distributed did not come up multi-process"
-    out = build_and_fit(args.num_processes)
+    out = build_and_fit(args.num_processes, args.mesh_rows, args.mesh_cols)
     if jax.process_index() == 0:
         with open(args.out, "w") as fh:
             json.dump(out, fh, indent=1)
 
 
-def _spawn(num_processes, port, out, n_local_devices):
+def _spawn(num_processes, port, out, n_local_devices, mesh_rows, mesh_cols):
     env = dict(os.environ)
     env["JAX_PLATFORMS"] = "cpu"
     env["XLA_FLAGS"] = (
@@ -144,7 +154,8 @@ def _spawn(num_processes, port, out, n_local_devices):
         procs.append(subprocess.Popen(
             [sys.executable, os.path.abspath(__file__), "--worker",
              "--process-id", str(i), "--num-processes", str(num_processes),
-             "--coordinator", f"localhost:{port}", "--out", out],
+             "--coordinator", f"localhost:{port}", "--out", out,
+             "--mesh-rows", str(mesh_rows), "--mesh-cols", str(mesh_cols)],
             env=env, cwd=REPO,
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
         ))
@@ -153,11 +164,9 @@ def _spawn(num_processes, port, out, n_local_devices):
     return rcs, logs
 
 
-def launcher(args):
-    with socket.socket() as s:
-        s.bind(("localhost", 0))
-        port = s.getsockname()[1]
-
+def _run_layout(args, mesh_rows, mesh_cols, port):
+    """One (mesh_rows, mesh_cols) layout: N-process run vs single-process
+    run of the identical problem on the same mesh shape."""
     multi_out = os.path.join(REPO, ".multiproc_multi.json")
     single_out = os.path.join(REPO, ".multiproc_single.json")
     for f in (multi_out, single_out):
@@ -165,15 +174,18 @@ def launcher(args):
             os.remove(f)
 
     rcs, logs = _spawn(args.num_processes, port, multi_out,
-                       n_local_devices=8 // args.num_processes)
+                       n_local_devices=8 // args.num_processes,
+                       mesh_rows=mesh_rows, mesh_cols=mesh_cols)
     if any(rcs) or not os.path.exists(multi_out):
         for i, lg in enumerate(logs):
             print(f"--- worker {i} (rc={rcs[i]}) ---\n{lg[-4000:]}",
                   file=sys.stderr)
-        raise SystemExit("multi-process run failed")
+        raise SystemExit(f"multi-process run failed (mesh {mesh_rows}x"
+                         f"{mesh_cols})")
 
     rcs1, logs1 = _spawn(1, port + 1 if port < 65535 else port - 1,
-                         single_out, n_local_devices=8)
+                         single_out, n_local_devices=8,
+                         mesh_rows=mesh_rows, mesh_cols=mesh_cols)
     if any(rcs1) or not os.path.exists(single_out):
         print(logs1[0][-4000:], file=sys.stderr)
         raise SystemExit("single-process run failed")
@@ -195,24 +207,45 @@ def launcher(args):
         })
     worst = max(max(g["rel_loss"], g["rel_train_rmse"], g["rel_test_rmse"])
                 for g in gaps)
-    result = {
-        "config": f"{N_ROWS}x{N_COLS} K={K} levels={LEVELS}+interaction "
-                  f"lambda={LAMBDA} alpha={ALPHA} masked, {MAX_ITER} iters",
+    for f in (multi_out, single_out):
+        os.remove(f)
+    return {
         "multi": {k: multi[k] for k in
                   ("process_count", "global_devices", "local_devices",
-                   "col_block")},
+                   "mesh", "row_block", "col_block")},
         "single": {k: single[k] for k in
                    ("process_count", "global_devices", "local_devices")},
         "per_boundary_gaps": gaps,
         "worst_rel_gap": worst,
-        "rel_tol": REL_TOL,
         "pass": bool(multi["process_count"] == args.num_processes
                      and worst <= REL_TOL),
     }
+
+
+def launcher(args):
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+
+    # Both comm layouts (VERDICT r3 missing #4): (1, 8) crosses the process
+    # boundary on the GENE axis; (2, 4) crosses it on the SAMPLE axis, so
+    # the per-level gram/Xty psums over 'rows' run over real gloo.
+    layouts = {}
+    for mesh_rows, mesh_cols in ((1, 8), (2, 4)):
+        layouts[f"{mesh_rows}x{mesh_cols}"] = _run_layout(
+            args, mesh_rows, mesh_cols, port)
+        port = port + 2 if port < 65530 else port - 2
+
+    result = {
+        "config": f"{N_ROWS}x{N_COLS} K={K} levels={LEVELS}+interaction "
+                  f"lambda={LAMBDA} alpha={ALPHA} masked, {MAX_ITER} iters",
+        "rel_tol": REL_TOL,
+        "layouts": layouts,
+        "worst_rel_gap": max(r["worst_rel_gap"] for r in layouts.values()),
+        "pass": all(r["pass"] for r in layouts.values()),
+    }
     with open(args.result, "w") as fh:
         json.dump(result, fh, indent=1)
-    for f in (multi_out, single_out):
-        os.remove(f)
     print(json.dumps(result, indent=1))
     sys.exit(0 if result["pass"] else 1)
 
@@ -224,8 +257,10 @@ def main():
     ap.add_argument("--num-processes", type=int, default=2)
     ap.add_argument("--coordinator", default=None)
     ap.add_argument("--out", default="multiproc_worker.json")
+    ap.add_argument("--mesh-rows", type=int, default=1)
+    ap.add_argument("--mesh-cols", type=int, default=8)
     ap.add_argument("--result", default=os.path.join(REPO,
-                                                     "MULTIPROC_r03.json"))
+                                                     "MULTIPROC_r04.json"))
     args = ap.parse_args()
     if args.worker:
         worker(args)

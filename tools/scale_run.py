@@ -5,12 +5,12 @@ Climbs a ladder of problem sizes through the memory-lean ingestion options
 (uint8 indicator storage, precompute=False so no (N, M) wx/one-hot
 constants are materialized), runs a few ALS iterations per size, records
 steady-ish nnz/s and the device's peak memory, and stops at the first size
-that exhausts HBM.  The committed SCALE_r03.json is the record of what is
+that exhausts HBM.  The committed SCALE_r04.json is the record of what is
 and is not provable on this hardware; the 50k x 200k / 500k x 1M BASELINE
 configs need the multi-chip meshes whose sharding path is validated by
 dryrun_multichip + tools/multiprocess_run.py.
 
-Usage:  python tools/scale_run.py [--out SCALE_r03.json]
+Usage:  python tools/scale_run.py [--out SCALE_r04.json]
 """
 
 from __future__ import annotations
@@ -103,15 +103,20 @@ def try_point(n, m):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--out", default="SCALE_r03.json")
+    ap.add_argument("--out", default="SCALE_r04.json")
     args = ap.parse_args()
 
     import jax
 
+    from insider_tpu import resilience
+
     results, failed = [], None
     for n, m in LADDER:
         try:
-            r = try_point(n, m)
+            # transient tunnel errors retry (with a backend reset);
+            # a real OOM (RESOURCE_EXHAUSTED) is the ladder's stop signal.
+            r = resilience.run_resilient(lambda n=n, m=m: try_point(n, m),
+                                         attempts=3)
             results.append(r)
             print(json.dumps(r), file=sys.stderr)
         except Exception as e:

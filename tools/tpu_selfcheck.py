@@ -89,6 +89,15 @@ def main():
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
 
+    # The whole check is self-contained and deterministic: on a transient
+    # backend/tunnel error, reset the client and re-run from scratch
+    # (VERDICT r3 #1 — one flaky moment must not void the artifact).
+    from insider_tpu import resilience
+
+    resilience.run_resilient(lambda: _run(args), attempts=3)
+
+
+def _run(args):
     import jax
     import jax.numpy as jnp
 
@@ -323,6 +332,87 @@ def main():
         "max_abs_diff": gram_bit_err, "pass": gram_ok,
     }
     ok_all &= gram_ok
+
+    # ---------- check 6: fused row kernels vs f64 host, on hardware -------
+    # row_xty_pallas (in-kernel D - T subtraction, ADVICE r3) and
+    # level_gram_pallas at flagship scale with real Mosaic lowering, audited
+    # against float64 host numpy.
+    from insider_tpu.kernels.row_pallas import (
+        level_gram_pallas,
+        row_xty_pallas,
+    )
+
+    pre = problem.arrays.pre
+    codes0 = np.asarray(problem.arrays.codes[0])
+    V0 = np.asarray(state.cfd_factors[0])
+    Rm_np = R - V0[codes0]
+    Rm = jnp.asarray(Rm_np)
+    Fj = jnp.asarray(F_prev)
+    E0 = np.asarray(pre.e[0])
+    D0 = np.asarray(pre.d[0])
+
+    got_xty = np.asarray(jax.block_until_ready(
+        row_xty_pallas(jnp.asarray(E0), Rm, maskj, jnp.asarray(D0), Fj)))
+    P64 = Rm_np.astype(np.float64) @ F_prev.astype(np.float64)
+    T64 = E0.astype(np.float64).T @ (mask.astype(np.float64) * P64)
+    want_xty = (D0.astype(np.float64) - T64) @ F_prev.astype(np.float64).T
+    xty_scale = np.maximum(np.abs(want_xty), 1e2)
+    row_xty_err = float(np.max(np.abs(got_xty - want_xty) / xty_scale))
+
+    mw_cat = jnp.concatenate([pre.mw[v] for v in range(len(LEVELS))], 0)
+    got_lg = np.asarray(jax.block_until_ready(level_gram_pallas(mw_cat, Fj)))
+    mw64 = np.asarray(mw_cat, np.float64)
+    F64 = F_prev.astype(np.float64)
+    PF64 = (F64[:, None, :] * F64[None, :, :]).reshape(K * K, N_COLS)
+    want_lg = (mw64 @ PF64.T).reshape(-1, K, K)
+    lg_scale = np.maximum(np.abs(want_lg), 1e2)
+    lg_err = float(np.max(np.abs(got_lg - want_lg) / lg_scale))
+
+    row_ok = row_xty_err < 2e-5 and lg_err < 2e-5
+    report["checks"]["row_kernels_vs_f64_host"] = {
+        "max_rel_err_xty": row_xty_err, "max_rel_err_level_gram": lg_err,
+        "pass": row_ok,
+    }
+    ok_all &= row_ok
+
+    # ---------- check 7: dense shared-gram kernels vs streamed, hardware --
+    # The partition=0 path's (K, K) shared-gram kernels (VERDICT r3 weak
+    # #8) must match the streamed kernels fed the broadcast (K, K, M)
+    # tensor they replace.
+    from insider_tpu.kernels.cd_pallas import elastic_net_cd_shared_pallas
+    from insider_tpu.kernels.fss_pallas import feature_sign_shared_pallas
+
+    XtXd = jnp.matmul(Rj.T, Rj, precision=jax.lax.Precision.HIGHEST)
+    Xty_d = jnp.matmul(Rj.T, jnp.asarray(data),
+                       precision=jax.lax.Precision.HIGHEST)
+    XtXd_b = jnp.broadcast_to(XtXd[:, :, None], (K, K, N_COLS))
+
+    fss_sh = np.asarray(jax.block_until_ready(feature_sign_shared_pallas(
+        XtXd, Xty_d, beta0, LAMBDA, ALPHA, 48, polish_sweeps=64,
+        tol=jnp.float32(1e-10))))
+    fss_st = np.asarray(jax.block_until_ready(feature_sign_pallas(
+        XtXd_b, Xty_d, beta0, LAMBDA, ALPHA, 48, polish_sweeps=64,
+        tol=jnp.float32(1e-10))))
+    dense_obj = lambda F: _objective_f64(R, np.ones_like(mask), data, F,
+                                         LAMBDA, ALPHA)
+    o_sh, o_st = dense_obj(fss_sh), dense_obj(fss_st)
+    fss_sh_gap = float(np.max(np.abs(o_sh - o_st) / np.maximum(o_st, 1.0)))
+
+    cd_sh = np.asarray(jax.block_until_ready(elastic_net_cd_shared_pallas(
+        XtXd, Xty_d, beta0, LAMBDA, ALPHA, jnp.float32(1e-10),
+        max_sweeps=200)))
+    cd_st = np.asarray(jax.block_until_ready(elastic_net_cd_pallas(
+        XtXd_b, Xty_d, beta0, LAMBDA, ALPHA, jnp.float32(1e-10),
+        max_sweeps=200)))
+    o_sh, o_st = dense_obj(cd_sh), dense_obj(cd_st)
+    cd_sh_gap = float(np.max(np.abs(o_sh - o_st) / np.maximum(o_st, 1.0)))
+
+    shared_ok = fss_sh_gap < 2e-4 and cd_sh_gap < 2e-4
+    report["checks"]["dense_shared_gram_vs_streamed"] = {
+        "max_rel_obj_gap_fss": fss_sh_gap,
+        "max_rel_obj_gap_cd": cd_sh_gap, "pass": shared_ok,
+    }
+    ok_all &= shared_ok
 
     report["pass"] = bool(ok_all)
     out = json.dumps(report, indent=2)
