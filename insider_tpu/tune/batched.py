@@ -15,11 +15,20 @@ deviation: trials that satisfy the stopping rule before `tuning_iter` keep
 iterating (their factors stay at the fixed point) instead of freezing — the
 batch stops when all trials converge or the budget is reached.
 
-Uses the jnp solver paths (not the Pallas kernels) — under vmap their (K, M)
-ops become (G, K, M), exactly the batching that makes it efficient.  The
-column sub-solver is the caller's explicit choice (`col_solver`, default
-"auto" = fss+polish, matching FitConfig); tests/test_batched_tune.py asserts
-batched-vs-serial agreement per solver.
+Uses the jnp solver paths (not the Pallas kernels — pallas_call is not
+vmap-batchable here).  The column sub-solver is the caller's explicit choice
+(`col_solver`, default "auto" = fss+polish, matching FitConfig);
+tests/test_batched_tune.py asserts batched-vs-serial agreement per solver.
+
+Where batching wins — measured on hardware (tools/tune_bench.py,
+TUNE_r04.json): at the flagship 377x44477 shape the vmapped grid is ~4x
+SLOWER than the serial loop and ~27x slower than serial+Pallas, because
+vmap materializes G copies of every (N, M)-scale intermediate and the
+update becomes HBM-bound while the serial loop runs the VMEM-resident
+fused kernels.  The production tune driver (tune/grid.py) therefore keeps
+the serial+kernels path on TPU; this module's regime is many SMALL trials
+(dispatch-latency-bound on CPU/virtual meshes, where tests confirm the
+win) — not large-matrix grids on a single chip.
 """
 
 from __future__ import annotations

@@ -114,30 +114,31 @@ def test_update_columns_pallas_dispatch_matches_jnp_optimum():
     optimum as the jnp path on a well-conditioned problem."""
     R, data, mask, F0 = _problem(3, n=60, k=5, m=33)
     lam, alpha = 1.0, 0.4
-    import insider_tpu.kernels.cd_pallas as cdp
-    orig = cdp.elastic_net_cd_pallas
+    # the driver's cd dispatch uses the sublane-packed kernels
+    import insider_tpu.kernels.cd_packed as cdpk
+    orig = cdpk.elastic_net_cd_packed_pallas
 
     def interp(*args, **kw):
         kw["interpret"] = True
         return orig(*args, **kw)
 
-    orig_fused = cdp.elastic_net_cd_fused_pallas
+    orig_fused = cdpk.elastic_net_cd_fused_packed_pallas
 
     def interp_fused(*args, **kw):
         kw["interpret"] = True
         return orig_fused(*args, **kw)
 
     try:
-        cdp.elastic_net_cd_pallas = interp
-        cdp.elastic_net_cd_fused_pallas = interp_fused
+        cdpk.elastic_net_cd_packed_pallas = interp
+        cdpk.elastic_net_cd_fused_packed_pallas = interp_fused
         Fp, _, tag = col_update.update_columns_masked(
             jnp.asarray(data), jnp.asarray(mask), jnp.asarray(R),
             jnp.asarray(F0), lam, alpha, jnp.float32(1e-9),
             jax.random.PRNGKey(7), max_sweeps=60, use_pallas=True,
         )
     finally:
-        cdp.elastic_net_cd_pallas = orig
-        cdp.elastic_net_cd_fused_pallas = orig_fused
+        cdpk.elastic_net_cd_packed_pallas = orig
+        cdpk.elastic_net_cd_fused_packed_pallas = orig_fused
     assert int(tag) == -4  # the gram-fused CD path ran
     Fj, _, _ = col_update.update_columns_masked(
         jnp.asarray(data), jnp.asarray(mask), jnp.asarray(R),

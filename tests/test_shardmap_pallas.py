@@ -6,7 +6,7 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-import insider_tpu.kernels.cd_pallas as cdp
+import insider_tpu.kernels.cd_packed as cdpk
 from insider_tpu.config import ShardingConfig
 from insider_tpu.ops import col_update
 from insider_tpu.sharding.mesh import make_mesh
@@ -14,14 +14,16 @@ from insider_tpu.sharding.mesh import make_mesh
 
 @pytest.fixture()
 def interp_kernel(monkeypatch):
-    for name in ("elastic_net_cd_pallas", "elastic_net_cd_fused_pallas"):
-        orig = getattr(cdp, name)
+    # the driver's cd dispatch uses the sublane-packed kernels
+    for name in ("elastic_net_cd_packed_pallas",
+                 "elastic_net_cd_fused_packed_pallas"):
+        orig = getattr(cdpk, name)
 
         def interp(*args, _orig=orig, **kw):
             kw["interpret"] = True
             return _orig(*args, **kw)
 
-        monkeypatch.setattr(cdp, name, interp)
+        monkeypatch.setattr(cdpk, name, interp)
     yield
 
 

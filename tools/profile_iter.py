@@ -181,14 +181,20 @@ def main():
         })
         return max(dt, 0.0)
 
-    # --- full iteration (both solvers) ---
+    # --- full iteration (both solvers; each settled on its OWN trajectory —
+    # timing cd from an fss-settled state inflates its sweep counts by ~3x,
+    # which is what made r03's cd number 21-24 ms) ---
     dt_full, nz_full = device_time(
         lambda st: als._als_iteration(arrays, statics, ss, hy, st, sub_tol),
         state, n_lo=4, n_hi=44)
+    state_cd = init_state(jax.random.PRNGKey(0), problem.n_levels, N_COLS, K)
+    state_cd = als._run_steps(arrays, statics, ss_cd, hy, state_cd, sub_tol,
+                              jnp.int32(12))
+    fetch_scalar(jnp.sum(state_cd.column_factor))
     dt_full_cd, _ = device_time(
         lambda st: als._als_iteration(arrays, statics, ss_cd, hy, st,
                                       sub_tol),
-        state, n_lo=4, n_hi=24)
+        state_cd, n_lo=4, n_hi=24)
 
     pre = arrays.pre
     F0 = state.column_factor
@@ -320,6 +326,32 @@ def main():
 
     dt_cd, nz = device_time(cd_body, F0, n_lo=4, n_hi=24)
     row("cd_kernel_streamed", dt_cd, nz, kernel_gb, 0.0)
+
+    # --- solver in-loop convergence work ---
+    # The isolated kernel rows above start from the settled state's own
+    # fixed point and early-exit almost immediately; inside the iteration
+    # the row updates perturb the subproblem, so the solver runs real outer
+    # steps/sweeps.  Attribute that honestly: full iteration minus a full
+    # iteration whose solver caps are minimal (1 outer step + 1 polish
+    # sweep) — everything else in the program identical.
+    ss_min = als.StepStatics.from_config(
+        FitConfig(latent_dim=K, lambda1=LAMBDA, lambda2=LAMBDA, alpha=ALPHA,
+                  masked=True, max_fss_outer=1, max_fss_polish_sweeps=1))
+    dt_min, nz_min = device_time(
+        lambda st: als._als_iteration(arrays, statics, ss_min, hy, st,
+                                      sub_tol),
+        state, n_lo=4, n_hi=44)
+    solver_extra = max(dt_full - dt_min, 0.0)
+    rows.append({
+        "component": "fss_solver_convergence_work",
+        "ms": solver_extra * 1e3,
+        "noise_ms": (nz_full + nz_min) * 1e3,
+        "resolved": bool(solver_extra > 2.0 * (nz_full + nz_min)),
+        "hbm_gb": 0.0, "pass_gflop": 0.0, "sol_ms": 0.0, "sol_frac": 0.0,
+        "note": "full iter minus min-solver-caps iter (VPU-bound GJ/CD "
+                "work the HBM/MXU roofline model does not bound)",
+    })
+    acc += solver_extra
 
     # --- evaluate (amortized /check_every in the driver) ---
     def ev_body(st):

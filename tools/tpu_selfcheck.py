@@ -318,6 +318,37 @@ def _run(args):
     }
     ok_all &= obj_ok
 
+    # ---------- check 4b: packed CD kernels (the driver's cd dispatch) ----
+    # kernels/cd_packed.py computes the identical iteration in a sublane-
+    # packed layout; hardware lowering reorders ulp-level arithmetic, so
+    # (like FSS, check 2) the contract is f64-objective equivalence to the
+    # tight jnp CD, not iterate identity.  Both variants the driver can
+    # dispatch (gram-fused and streamed) are audited.
+    from insider_tpu.kernels.cd_packed import (
+        elastic_net_cd_fused_packed_pallas,
+        elastic_net_cd_packed_pallas,
+    )
+
+    cd_pk_fused = np.asarray(jax.block_until_ready(
+        elastic_net_cd_fused_packed_pallas(maskj, wxj, Rj, beta0, LAMBDA,
+                                           ALPHA, jnp.float32(1e-10),
+                                           max_sweeps=400)))
+    cd_pk_str = np.asarray(jax.block_until_ready(
+        elastic_net_cd_packed_pallas(XtXt, Xty, beta0, LAMBDA, ALPHA,
+                                     jnp.float32(1e-10), max_sweeps=400)))
+    obj_pkf = _objective_f64(R, mask, data, cd_pk_fused, LAMBDA, ALPHA)
+    obj_pks = _objective_f64(R, mask, data, cd_pk_str, LAMBDA, ALPHA)
+    exc_pkf = float(np.max(obj_pkf - obj_ref - slack))
+    exc_pks = float(np.max(obj_pks - obj_ref - slack))
+    kkt_pk = _kkt_residual_f64(R, mask, data, cd_pk_fused, LAMBDA, ALPHA,
+                               audit_cols)
+    packed_ok = (exc_pkf <= 0.0) and (exc_pks <= 0.0) and (kkt_pk < kkt_tol)
+    report["checks"]["packed_cd_objective_and_kkt"] = {
+        "max_excess_fused": exc_pkf, "max_excess_streamed": exc_pks,
+        "max_kkt_residual": kkt_pk, "tolerance": kkt_tol, "pass": packed_ok,
+    }
+    ok_all &= packed_ok
+
     # ---------- check 5: exact-0/1-operand gram precision, on hardware ----
     # ops/col_update.py builds the column grams with per-operand precision
     # (HIGHEST, DEFAULT): the 0/1 mask is exactly representable in bf16, so

@@ -17,6 +17,15 @@ test RMSE to vectorization-order noise.  Writes TUNE_r04.json with wall
 clocks (compile excluded via a warm-up run at identical shapes) and the
 speedup matrix.
 
+Measured verdict (committed TUNE_r04.json, v5e): at the flagship shape the
+vmapped grid is ~4x SLOWER than the serial jnp loop and ~27x slower than
+serial+Pallas — under vmap every (N, M)-scale op materializes G copies and
+the sweep becomes HBM-bound, while the serial loop runs the VMEM-resident
+fused kernels.  The production tune driver (tune/grid.py -> als.optimize)
+therefore keeps the serial+kernels path on TPU; the batched path's regime
+is many small trials on CPU/virtual meshes (tests) or future multi-chip
+grids with one trial per device group.
+
 Usage:  python tools/tune_bench.py [--out TUNE_r04.json]
 """
 
@@ -138,7 +147,8 @@ def main():
 
     def best(res):
         i = int(np.nanargmin([r["test_rmse"] for r in res]))
-        return (res[i]["lambda"], res[i]["alpha"])
+        # round: the batched path echoes hypers through f32 device scalars
+        return (round(res[i]["lambda"], 5), round(res[i]["alpha"], 5))
 
     bests = {k: best(v) for k, v in outputs.items()}
     rmse = {k: [r["test_rmse"] for r in v] for k, v in outputs.items()}
