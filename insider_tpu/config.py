@@ -82,6 +82,13 @@ class FitConfig:
     # Sweep cap for the polish pass (from a near-optimum it converges in a
     # handful of sweeps).
     max_fss_polish_sweeps: int = 32
+    # Sanitizer mode (SURVEY.md §5): run every step chunk under
+    # jax.experimental.checkify with a finiteness check after EACH block
+    # update, so the first NaN/Inf is pinned to the producing factor block
+    # (row/continuous/column) instead of surfacing as a diverged loss at
+    # the next 10-iter boundary.  Debug-only: the checks serialize some
+    # fusion, so leave False for production runs.
+    debug_checks: bool = False
 
     @property
     def sub_tol_decay_ladder(self) -> Tuple[float, ...]:

@@ -95,6 +95,11 @@ class StepStatics:
     max_ctns_sweeps: int
     ctns_tol: float
     use_pallas: bool = False
+    # Sanitizer mode (SURVEY.md §5 race-detection/sanitizers row): insert a
+    # checkify finiteness check after every block update inside the jitted
+    # iteration, so a NaN/Inf is pinned to the factor block that produced
+    # it instead of surfacing as a diverged loss at the next boundary.
+    debug_checks: bool = False
     # "cd" (reference algorithm) or "fss" (exact active-set solves — the
     # fast path; see ops/fss.py).  With fss the sub_tol decay ladder only
     # affects the polish pass: subproblems are solved to their exact
@@ -124,6 +129,7 @@ class StepStatics:
             max_ctns_sweeps=config.max_ctns_sweeps,
             ctns_tol=config.ctns_tol,
             use_pallas=use_pallas,
+            debug_checks=config.debug_checks,
             col_solver=solver,
             max_fss_outer=config.max_fss_outer,
             fss_polish=config.fss_polish,
@@ -402,6 +408,18 @@ def _shard_level_gram(mesh, mw_cat, F):
     return fn(mw_cat, F)
 
 
+def _debug_check_finite(tag: str, x: jax.Array) -> None:
+    """Sanitizer check (SURVEY.md §5): under FitConfig.debug_checks the
+    driver runs the step chunk through `checkify`, and this pins the FIRST
+    non-finite value to the block update that produced it.  The reference
+    has no analog (NaNs surface only in the R-side is_converged warning,
+    R/utils.R:126-128)."""
+    from jax.experimental import checkify
+
+    checkify.check(jnp.all(jnp.isfinite(x)),
+                   f"non-finite values produced by {tag}")
+
+
 def _row_factor(arrays: ProblemArrays, state: InsiderState) -> jax.Array:
     """R = sum_v V_v[codes_v] + C W  (src/optimize.cpp:365-373)."""
     R = state.cfd_factors[0][arrays.codes[0]]
@@ -511,6 +529,8 @@ def _als_iteration(arrays: ProblemArrays, statics: ProblemStatics,
                     resid_plus, F, gram, arrays.codes[v],
                     statics.n_levels[v], hypers.lam1,
                 )
+        if step_statics.debug_checks:
+            _debug_check_finite(f"row update V[{v}] (optimize_row)", V)
         cfd_new[v] = V
         R = R_minus + V[arrays.codes[v]]
 
@@ -545,6 +565,9 @@ def _als_iteration(arrays: ProblemArrays, statics: ProblemStatics,
                     resid_plus = arrays.data - losses.predict(R_minus, F)
                     w = continuous.update_ctns_row_dense(resid_plus, F, gram,
                                                          c, hypers.lam1)
+            if step_statics.debug_checks:
+                _debug_check_finite(
+                    f"continuous update W[{j}] (optimize_continuous_v2)", w)
             W = W.at[j].set(w)
             R = R_minus + jnp.outer(c, w)
 
@@ -576,6 +599,8 @@ def _als_iteration(arrays: ProblemArrays, statics: ProblemStatics,
             fss_polish=step_statics.fss_polish,
             max_fss_polish_sweeps=step_statics.max_fss_polish_sweeps,
         )
+    if step_statics.debug_checks:
+        _debug_check_finite("column update F (optimize_col)", F_new)
     new_state = InsiderState(cfd_new, W, F_new, key)
     return apply_constraints(statics.mesh, new_state)
 
@@ -609,6 +634,29 @@ def _evaluate_impl(arrays: ProblemArrays, statics: ProblemStatics,
 
 
 _evaluate = partial(jax.jit, static_argnums=(1,))(_evaluate_impl)
+
+
+@partial(jax.jit, static_argnums=(1, 2))
+def _run_steps_eval_checked(arrays: ProblemArrays, statics: ProblemStatics,
+                            step_statics: StepStatics, hypers: Hypers,
+                            state: InsiderState, sub_tol_eff: jax.Array,
+                            n_steps: jax.Array):
+    """_run_steps_eval under checkify (FitConfig.debug_checks): returns
+    (error, (state, metrics)); the host throws the error with the failing
+    block's tag.  No donation — debug mode keeps buffers inspectable."""
+    from jax.experimental import checkify
+
+    def f(arrays, hypers, state, sub_tol_eff, n_steps):
+        def body(_, st):
+            return _als_iteration(arrays, statics, step_statics, hypers, st,
+                                  sub_tol_eff)
+
+        state2 = lax.fori_loop(0, n_steps, body, state)
+        ev, reg = _evaluate_impl(arrays, statics, state2)
+        return state2, losses.pack_metrics(ev, reg)
+
+    checked = checkify.checkify(f, errors=checkify.user_checks)
+    return checked(arrays, hypers, state, sub_tol_eff, n_steps)
 
 
 @partial(jax.jit, static_argnums=(1, 2), donate_argnums=(4,))
@@ -791,12 +839,20 @@ def optimize(
         alpha=jnp.float32(config.alpha),
     )
 
+    def run_chunk(state, sub_tol_eff, n):
+        if config.debug_checks:
+            err, (state, metrics) = _run_steps_eval_checked(
+                arrays, statics, step_statics, hypers, state, sub_tol_eff,
+                jnp.int32(n))
+            err.throw()   # raises with the failing block's tag
+            return state, metrics
+        return _run_steps_eval(arrays, statics, step_statics, hypers, state,
+                               sub_tol_eff, jnp.int32(n))
+
     t0 = time.time()
     # Initial eval (src/optimize.cpp:320-323) via the fused chunk with
     # n_steps=0: same executable as every boundary, one compile total.
-    state, metrics = _run_steps_eval(
-        arrays, statics, step_statics, hypers, state,
-        jnp.float32(config.sub_tol), jnp.int32(0))
+    state, metrics = run_chunk(state, jnp.float32(config.sub_tol), 0)
     m = finalize(metrics)
     loss = m["loss"]
     emit({"iter": -1, **m, "elapsed_s": time.time() - t0})
@@ -819,14 +875,10 @@ def optimize(
         chunk_idx = len(history)  # 1 = first post-init chunk (compile)
         if profile_dir and chunk_idx == 2:
             with jax.profiler.trace(profile_dir):
-                state, metrics = _run_steps_eval(
-                    arrays, statics, step_statics, hypers, state,
-                    sub_tol_eff, jnp.int32(n))
+                state, metrics = run_chunk(state, sub_tol_eff, n)
                 jax.block_until_ready(state.column_factor)
         else:
-            state, metrics = _run_steps_eval(
-                arrays, statics, step_statics, hypers, state, sub_tol_eff,
-                jnp.int32(n))
+            state, metrics = run_chunk(state, sub_tol_eff, n)
         it = boundary + 1
 
         pre_loss = loss
