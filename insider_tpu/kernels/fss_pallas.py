@@ -31,7 +31,16 @@ DEFAULT_BLOCK = 1024
 
 # Relative KKT slack — must match ops/fss.py's default so the kernel and the
 # jnp reference compute the same iteration.
-KKT_RTOL = 1e-4
+#
+# Tuning (round 4, measured on v5e at the flagship shape): the slack trades
+# FSS outer steps (fast exact GJ solves) against polish sweeps (slow linear
+# CD descent on the coordinates the slack left inactive).  At 1e-4 the
+# fused polish ground ~2.5 ms/iter; at 1e-5 those coordinates activate and
+# solve exactly instead — full fss iteration 6.2 -> 3.9 ms (3e-6 plateaus).
+# The slack still exists to stop f32 boundary coordinates from oscillating
+# activate/deactivate; max_outer bounds any residual oscillation and the
+# polish restores the CD stopping criterion either way.
+KKT_RTOL = 1e-5
 
 
 def _auto_block(K: int, block: int, M: int, big_tensors: int) -> int:

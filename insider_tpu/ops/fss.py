@@ -82,7 +82,7 @@ def feature_sign_batched(
     lam,
     alpha,
     max_outer: int = 64,
-    kkt_rtol: float = 1e-4,
+    kkt_rtol: float = 1e-5,
 ):
     """Exact batched elastic-net solve over all columns.
 
@@ -95,7 +95,11 @@ def feature_sign_batched(
     sitting exactly on the boundary would oscillate activate/deactivate
     forever.  The slack is scaled by the column's gradient magnitude, so it
     admits only coordinates whose true |beta| would be below f32 resolution
-    anyway.
+    anyway.  Default 1e-5 (must match kernels/fss_pallas.KKT_RTOL): tight
+    enough that boundary coordinates activate and solve EXACTLY in the GJ
+    step rather than leaving slow CD-descent work to the polish (measured
+    6.2 -> 3.9 ms/iter at the flagship shape), loose enough to absorb the
+    f32 gradient noise floor.
     """
     K, M = beta0.shape
     lam = jnp.asarray(lam, beta0.dtype)
