@@ -64,6 +64,20 @@ def _load() -> Optional[ctypes.CDLL]:
         ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_uint8),
         ctypes.POINTER(ctypes.c_uint8),
     ]
+    lib.insider_block_read_f32.restype = ctypes.c_int
+    lib.insider_block_read_f32.argtypes = [
+        ctypes.c_char_p, ctypes.c_int64,
+        ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_float),
+    ]
+    lib.insider_split_mask_block.restype = ctypes.c_int64
+    lib.insider_split_mask_block.argtypes = [
+        ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
+        ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_double, ctypes.c_uint64,
+        ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_uint8),
+        ctypes.POINTER(ctypes.c_uint8),
+    ]
     _lib = lib
     return _lib
 
@@ -149,3 +163,114 @@ def split_mask(data: np.ndarray, ratio: float, seed: int
         na.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
     )
     return train, test, na, int(picked)
+
+
+def read_block(path: str, global_shape: Tuple[int, int],
+               rows: Tuple[int, int], cols: Tuple[int, int]) -> np.ndarray:
+    """Read block [r0,r1) x [c0,c1) of a raw row-major float32 matrix file.
+
+    The per-shard reader for build_problem_distributed: a process touches
+    only its own block's bytes (pread per row, OpenMP over rows natively;
+    memmap fallback).
+    """
+    N, M = global_shape
+    (r0, r1), (c0, c1) = rows, cols
+    lib = _load()
+    if lib is None:
+        mm = np.memmap(path, dtype=np.float32, mode="r", shape=(N, M))
+        return np.array(mm[r0:r1, c0:c1])
+    out = np.empty((r1 - r0, c1 - c0), np.float32)
+    rc = lib.insider_block_read_f32(
+        path.encode(), M, r0, r1, c0, c1,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
+    if rc != 0:
+        raise IOError(f"insider_block_read_f32({path}, rows={rows}, "
+                      f"cols={cols}) failed: {rc}")
+    return out
+
+
+def split_mask_block(global_shape: Tuple[int, int],
+                     rows: Tuple[int, int], cols: Tuple[int, int],
+                     ratio: float, seed: int,
+                     data_block: Optional[np.ndarray] = None,
+                     ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(train, test, na) uint8 masks for ONE block of a global split.
+
+    Deterministic in (seed, global element index): every process generates
+    its own block and the blocks tile into one consistent global split —
+    no process ever holds the full mask (the distributed-ingestion analog
+    of ratio_splitter; element-wise Bernoulli(ratio), see
+    native/insider_io.cpp for the exact-k trade-off note).
+    """
+    N, M = global_shape
+    (r0, r1), (c0, c1) = rows, cols
+    shape = (r1 - r0, c1 - c0)
+    lib = _load()
+    if lib is None:
+        # numpy fallback: identical splitmix64 stream
+        gi = (np.arange(r0, r1, dtype=np.uint64)[:, None] * np.uint64(M)
+              + np.arange(c0, c1, dtype=np.uint64)[None, :])
+        x = gi ^ np.uint64(seed)
+        with np.errstate(over="ignore"):
+            x = (x + np.uint64(0x9E3779B97F4A7C15))
+            x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+            x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+            x = x ^ (x >> np.uint64(31))
+        cut = np.uint64(min(ratio, 1.0) * 18446744073709551616.0) \
+            if ratio < 1.0 else np.uint64(0xFFFFFFFFFFFFFFFF)
+        test = (x < cut).astype(np.uint8)
+        na = (np.zeros(shape, np.uint8) if data_block is None
+              else np.isnan(data_block).astype(np.uint8))
+        test[na == 1] = 0
+        train = ((test == 0) & (na == 0)).astype(np.uint8)
+        return train, test, na
+    train = np.empty(shape, np.uint8)
+    test = np.empty(shape, np.uint8)
+    na = np.empty(shape, np.uint8)
+    dptr = (None if data_block is None else
+            np.ascontiguousarray(data_block, np.float32))
+    lib.insider_split_mask_block(
+        (dptr.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
+         if dptr is not None else None),
+        M, r0, r1, c0, c1, float(ratio), int(seed),
+        train.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        test.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        na.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+    )
+    return train, test, na
+
+
+def file_ingest_callbacks(path: str, global_shape: Tuple[int, int],
+                          ratio: float, seed: int):
+    """Per-shard-callback bundle for als.build_problem_distributed.
+
+    Returns (data_cb, train_cb, test_cb): each takes the index tuple of
+    slices the sharding machinery passes per addressable shard and returns
+    that shard's block — data via native block pread of the raw f32 file,
+    masks via the deterministic block splitter.  No allocation ever exceeds
+    one shard; every process sees a consistent global split.
+    """
+    N, M = global_shape
+
+    def _bounds(index):
+        rs = index[0].indices(N)
+        cs = index[1].indices(M)
+        return (rs[0], rs[1]), (cs[0], cs[1])
+
+    def data_cb(index):
+        rows, cols = _bounds(index)
+        return read_block(path, global_shape, rows, cols)
+
+    def train_cb(index):
+        rows, cols = _bounds(index)
+        blk = read_block(path, global_shape, rows, cols)
+        return split_mask_block(global_shape, rows, cols, ratio, seed,
+                                data_block=blk)[0]
+
+    def test_cb(index):
+        rows, cols = _bounds(index)
+        blk = read_block(path, global_shape, rows, cols)
+        return split_mask_block(global_shape, rows, cols, ratio, seed,
+                                data_block=blk)[1]
+
+    return data_cb, train_cb, test_cb

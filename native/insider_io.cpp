@@ -189,6 +189,43 @@ void insider_log2p1(float* data, int64_t n) {
   }
 }
 
+// ---------------------------------------------------- block IO (sharding) --
+
+// Read a rectangular block [r0, r1) x [c0, c1) of a row-major float32
+// matrix stored raw on disk (n_cols_global columns per row) into `out`
+// (row-major, (r1-r0) x (c1-c0)).  pread per row, OpenMP over rows — the
+// per-shard-callback reader for build_problem_distributed: no process ever
+// maps more than its own block (SURVEY.md §5 long-context row; the
+// reference is a single in-RAM process, src/Makevars:11-13).
+// Returns 0 on success, -1 on open failure, -2 on short read.
+int insider_block_read_f32(const char* path, int64_t n_cols_global,
+                           int64_t r0, int64_t r1, int64_t c0, int64_t c1,
+                           float* out) {
+  int fd = open(path, O_RDONLY);
+  if (fd < 0) return -1;
+  const int64_t bw = c1 - c0;
+  std::atomic<int> bad{0};
+#if defined(_OPENMP)
+#pragma omp parallel for schedule(static)
+#endif
+  for (int64_t r = r0; r < r1; r++) {
+    off_t off = (off_t)((r * n_cols_global + c0) * (int64_t)sizeof(float));
+    ssize_t want = (ssize_t)(bw * (int64_t)sizeof(float));
+    char* dst = (char*)(out + (r - r0) * bw);
+    ssize_t got = 0;
+    while (got < want) {
+      ssize_t n = pread(fd, dst + got, (size_t)(want - got), off + got);
+      if (n <= 0) {
+        bad.store(1);
+        break;
+      }
+      got += n;
+    }
+  }
+  close(fd);
+  return bad.load() ? -2 : 0;
+}
+
 // -------------------------------------------------------------- splitting --
 
 static inline uint64_t splitmix64(uint64_t x) {
@@ -283,6 +320,55 @@ int64_t insider_split_mask(const float* data, int64_t n_elems, double ratio,
       train[i] = 0;
       picked.fetch_add(1, std::memory_order_relaxed);
     }
+  }
+  return picked.load();
+}
+
+// Block-local masked split for DISTRIBUTED ingestion: generate the
+// train/test/na masks of the [r0, r1) x [c0, c1) block of a conceptual
+// n_rows x n_cols_global matrix, deterministically in (seed, global linear
+// index) — every process computes ITS block independently and the blocks
+// tile into one consistent global split, with no process ever holding the
+// full mask.
+//
+// Sampling rule: element-wise Bernoulli(ratio) on the splitmix64 stream
+// (test iff hash < ratio * 2^64).  This deviates from the full-matrix
+// splitter's exact-k sample (insider_split_mask's histogram select needs
+// the global hash order): at the >=1e9-element scales where distributed
+// ingestion matters, |test|/observed concentrates around `ratio` to
+// ~1/sqrt(n) — the documented trade for full block-parallel determinism.
+// `data` may be NULL (no-NaN synthetic configs) or the block's values for
+// NaN exclusion.  Returns the number of test elements in the block.
+int64_t insider_split_mask_block(const float* data, int64_t n_cols_global,
+                                 int64_t r0, int64_t r1, int64_t c0,
+                                 int64_t c1, double ratio, uint64_t seed,
+                                 uint8_t* train, uint8_t* test,
+                                 uint8_t* na) {
+  const int64_t bw = c1 - c0;
+  const uint64_t cut =
+      (ratio >= 1.0) ? UINT64_MAX : (uint64_t)(ratio * 18446744073709551616.0);
+  std::atomic<int64_t> picked{0};
+#if defined(_OPENMP)
+#pragma omp parallel for schedule(static)
+#endif
+  for (int64_t r = r0; r < r1; r++) {
+    int64_t local = 0;
+    for (int64_t c = c0; c < c1; c++) {
+      int64_t gi = r * n_cols_global + c;
+      int64_t li = (r - r0) * bw + (c - c0);
+      bool is_na = data != nullptr && std::isnan(data[li]);
+      na[li] = is_na ? 1 : 0;
+      if (is_na) {
+        train[li] = 0;
+        test[li] = 0;
+        continue;
+      }
+      bool is_test = splitmix64(seed ^ (uint64_t)gi) < cut;
+      test[li] = is_test ? 1 : 0;
+      train[li] = is_test ? 0 : 1;
+      local += is_test ? 1 : 0;
+    }
+    picked.fetch_add(local, std::memory_order_relaxed);
   }
   return picked.load();
 }

@@ -98,3 +98,116 @@ def test_split_mask_uniformity():
     per_row = test.sum(axis=1)
     assert per_row.mean() == pytest.approx(100, rel=0.05)
     assert per_row.std() < 30
+
+
+def test_block_read_matches_memmap(tmp_path):
+    rng = np.random.default_rng(5)
+    N, M = 37, 53
+    x = rng.standard_normal((N, M)).astype(np.float32)
+    path = str(tmp_path / "mat.f32")
+    x.tofile(path)
+    from insider_tpu.data.native import read_block
+
+    blk = read_block(path, (N, M), (5, 21), (7, 40))
+    np.testing.assert_array_equal(blk, x[5:21, 7:40])
+    # full matrix as one block
+    np.testing.assert_array_equal(read_block(path, (N, M), (0, N), (0, M)), x)
+
+
+def test_split_mask_block_tiles_consistently():
+    """Blocks of the SAME global split generated independently must tile
+    into one consistent global mask — the distributed-determinism
+    contract."""
+    from insider_tpu.data.native import split_mask_block
+
+    N, M, ratio, seed = 40, 64, 0.1, 123
+    full_tr, full_te, full_na = split_mask_block((N, M), (0, N), (0, M),
+                                                 ratio, seed)
+    # tile from 4 blocks
+    for rows in ((0, 17), (17, 40)):
+        for cols in ((0, 31), (31, 64)):
+            tr, te, na = split_mask_block((N, M), rows, cols, ratio, seed)
+            np.testing.assert_array_equal(
+                tr, full_tr[rows[0]:rows[1], cols[0]:cols[1]])
+            np.testing.assert_array_equal(
+                te, full_te[rows[0]:rows[1], cols[0]:cols[1]])
+    # test fraction approximately `ratio` and masks partition the matrix
+    assert abs(full_te.mean() - ratio) < 0.02
+    np.testing.assert_array_equal(full_tr + full_te + full_na,
+                                  np.ones((N, M), np.uint8))
+
+
+def test_split_mask_block_native_matches_numpy_fallback(monkeypatch):
+    """The numpy fallback must generate the IDENTICAL splitmix64 stream as
+    the C++ implementation (cross-process determinism cannot depend on
+    which implementation a host happens to have)."""
+    import insider_tpu.data.native as nat
+
+    if not nat.native_available():
+        pytest.skip("native lib unavailable")
+    a = nat.split_mask_block((30, 40), (3, 20), (5, 33), 0.2, 99)
+    monkeypatch.setattr(nat, "_lib", None)
+    monkeypatch.setattr(nat, "_tried", True)
+    b = nat.split_mask_block((30, 40), (3, 20), (5, 33), 0.2, 99)
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(x, y)
+
+
+def test_split_mask_block_nan_handling():
+    from insider_tpu.data.native import split_mask_block
+
+    blk = np.ones((6, 8), np.float32)
+    blk[2, 3] = np.nan
+    tr, te, na = split_mask_block((6, 8), (0, 6), (0, 8), 0.3, 7,
+                                  data_block=blk)
+    assert na[2, 3] == 1 and tr[2, 3] == 0 and te[2, 3] == 0
+
+
+def test_file_ingest_callbacks_end_to_end(tmp_path):
+    """build_problem_distributed fed entirely from a raw f32 file via the
+    native per-shard callbacks matches the in-memory build."""
+    import jax
+    from jax.sharding import PartitionSpec as P
+
+    import insider_tpu as it
+    from insider_tpu.config import FitConfig, ShardingConfig
+    from insider_tpu.data.native import file_ingest_callbacks, split_mask_block
+    from insider_tpu.train import als
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices")
+
+    rng = np.random.default_rng(8)
+    N, M, K = 48, 256, 3
+    sim = it.simulate_scale(N, M, K, level_counts=(2, 4), noise_std=1.0,
+                            seed=3)
+    path = str(tmp_path / "data.f32")
+    sim.data.astype(np.float32).tofile(path)
+    codes = []
+    n_levels = []
+    for c in range(sim.confounder.shape[1]):
+        lv, inv = np.unique(sim.confounder[:, c], return_inverse=True)
+        codes.append(inv.astype(np.int32))
+        n_levels.append(int(lv.size))
+
+    data_cb, train_cb, test_cb = file_ingest_callbacks(path, (N, M), 0.1,
+                                                       seed=77)
+    cfg_sh = ShardingConfig(rows=2, cols=4)
+    problem = als.build_problem_distributed(
+        data=data_cb, train_indicator=train_cb, test_indicator=test_cb,
+        codes=codes, n_levels=tuple(n_levels), global_shape=(N, M),
+        sharding=cfg_sh, masked=True,
+    )
+    cfg = FitConfig(latent_dim=K, lambda1=1.0, lambda2=1.0, alpha=0.3,
+                    masked=True, max_iter=10, global_tol=0.0,
+                    use_pallas=False)
+    res = als.optimize(problem, cfg, verbose=False)
+
+    # in-memory reference with the identical split
+    tr, te, _ = split_mask_block((N, M), (0, N), (0, M), 0.1, 77,
+                                 data_block=sim.data.astype(np.float32))
+    problem2 = als.build_problem(sim.data, sim.confounder, tr, te,
+                                 masked=True)
+    res2 = als.optimize(problem2, cfg, verbose=False)
+    assert res.loss == pytest.approx(res2.loss, rel=1e-5)
+    assert res.test_rmse == pytest.approx(res2.test_rmse, rel=1e-5)
