@@ -289,6 +289,11 @@ def _bf16_planes(x):
 
 
 def _planes_dot(hi, mid, lo, mask_blk):
+    # mask may be stored uint8 (memory-lean mode: 4x less HBM traffic per
+    # read); 0/1 is exact in bf16 either way.  Mosaic has no
+    # unsigned->float cast, so widen via int32.
+    if mask_blk.dtype != jnp.float32:
+        mask_blk = mask_blk.astype(jnp.int32).astype(jnp.float32)
     m16 = mask_blk.astype(jnp.bfloat16)
     acc = jnp.dot(hi, m16, preferred_element_type=jnp.float32)
     acc = acc + jnp.dot(mid, m16, preferred_element_type=jnp.float32)

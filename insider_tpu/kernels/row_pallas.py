@@ -115,7 +115,12 @@ def _xty_kernel(e_ref, r_ref, mask_ref, d_ref, f_ref, out_ref,
 
     P = jnp.dot(r_ref[:], f_ref[:], precision=HIGHEST,
                 preferred_element_type=jnp.float32)          # (N, BM)
-    masked = mask_ref[:] * P
+    m = mask_ref[:]
+    if m.dtype != jnp.float32:
+        # uint8 memory-lean mask storage; Mosaic has no unsigned->float
+        # cast, so widen via int32 (exact for 0/1).
+        m = m.astype(jnp.int32).astype(jnp.float32)
+    masked = m * P
     if exact01:
         # E is exact in bf16: split the real-valued operand into three bf16
         # planes (exact) against bf16 E — 3 MXU passes instead of HIGHEST's

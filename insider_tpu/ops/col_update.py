@@ -288,18 +288,24 @@ def update_columns_masked(
     fss_polish: bool = True,
     max_fss_polish_sweeps: int = 32,
 ):
-    """Masked (tuning==1) column update, src/optimize.cpp:203-230."""
+    """Masked (tuning==1) column update, src/optimize.cpp:203-230.
+
+    mask may be stored uint8 (memory-lean): the Pallas kernels read it raw
+    (per-block VMEM conversion, 4x less HBM traffic), while the jnp matmul
+    paths use the f32 view below.
+    """
     if alpha_is_zero is None:
         alpha_is_zero = alpha == 0.0
+    mask_f = mask if mask.dtype == R.dtype else mask.astype(R.dtype)
     if masked_data is None:
-        masked_data = mask * data
+        masked_data = mask_f * data
     # NOTE: Xty is only needed by the non-fused paths; the gram-fused Pallas
     # kernels build it in VMEM.  Compute it lazily so an eager caller on a
     # fused path never pays the (K,N)@(N,M) matmul (ADVICE r3).
     if alpha_is_zero:
         from insider_tpu.ops.row_update import _ridge_solve_batched
         Xty = jnp.matmul(R.T, masked_data, precision=HIGHEST)  # (K, M)
-        XtX = col_gram_masked(R, mask)                  # (M, K, K)
+        XtX = col_gram_masked(R, mask_f)                # (M, K, K)
         F = _ridge_solve_batched(XtX, Xty.T, lam).T
         return F, key, jnp.int32(0)
     if solver == "fss":
@@ -331,7 +337,7 @@ def update_columns_masked(
                 )
                 return F, key, jnp.int32(-3)
             Xty = jnp.matmul(R.T, masked_data, precision=HIGHEST)
-            XtXt = col_gram_masked_t(R, mask)           # (K, K, M)
+            XtXt = col_gram_masked_t(R, mask_f)         # (K, K, M)
             F = _shard_cols(
                 mesh,
                 lambda xt, xy, b0: feature_sign_pallas(
@@ -343,7 +349,7 @@ def update_columns_masked(
         from insider_tpu.ops.fss import feature_sign_batched
 
         Xty = jnp.matmul(R.T, masked_data, precision=HIGHEST)
-        XtX = col_gram_masked(R, mask)
+        XtX = col_gram_masked(R, mask_f)
         F, outers = feature_sign_batched(XtX, Xty, F_prev, lam, alpha,
                                          max_fss_outer)
         if fss_polish:
@@ -380,7 +386,7 @@ def update_columns_masked(
                 mask, masked_data, Rp, beta0,
             )
             return F[inv], key, jnp.int32(-4)
-        XtXt = col_gram_masked_t(Rp, mask)              # (K, K, M)
+        XtXt = col_gram_masked_t(Rp, mask_f)            # (K, K, M)
         Xty_p = jnp.matmul(Rp.T, masked_data, precision=HIGHEST)
         F = _shard_cols(
             mesh,
@@ -390,7 +396,7 @@ def update_columns_masked(
         )
         return F[inv], key, jnp.int32(-1)
     Xty = jnp.matmul(R.T, masked_data, precision=HIGHEST)
-    XtX = col_gram_masked(R, mask)
+    XtX = col_gram_masked(R, mask_f)
     return elastic_net_cd(XtX, Xty, F_prev, lam, alpha, tol, key, max_sweeps)
 
 

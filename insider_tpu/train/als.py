@@ -436,11 +436,13 @@ def _als_iteration(arrays: ProblemArrays, statics: ProblemStatics,
                    sub_tol_eff: jax.Array) -> InsiderState:
     """One full ALS iteration (src/optimize.cpp:325-379)."""
     F = state.column_factor
-    mask = arrays.train_mask
-    if mask.dtype != F.dtype:
-        # uint8 (memory-lean) masks: one in-jit cast per iteration; XLA
-        # reuses the converted buffer across the matmuls that need it.
-        mask = mask.astype(F.dtype)
+    mask_raw = arrays.train_mask
+    # f32 view for the jnp matmul paths; the Pallas kernels read the RAW
+    # (possibly uint8 memory-lean) mask and convert per block in VMEM, so
+    # when only kernels consume it XLA DCE removes this cast — uint8
+    # storage then quarters the mask's HBM traffic per read.
+    mask = (mask_raw if mask_raw.dtype == F.dtype
+            else mask_raw.astype(F.dtype))
     masked = statics.masked
 
     gram = jnp.matmul(F, F.T, precision=HIGHEST)
@@ -502,8 +504,8 @@ def _als_iteration(arrays: ProblemArrays, statics: ProblemStatics,
         fast = pre is not None and pre.e[v] is not None
         if masked:
             if fast and use_row_kernels:
-                xty = _shard_row_xty(statics.mesh, pre.e[v], R_minus, mask,
-                                     pre.d[v], F)
+                xty = _shard_row_xty(statics.mesh, pre.e[v], R_minus,
+                                     mask_raw, pre.d[v], F)
                 V = row_update._ridge_solve_batched(
                     level_xtx[v], xty, hypers.lam1)
             elif fast:
@@ -577,7 +579,7 @@ def _als_iteration(arrays: ProblemArrays, statics: ProblemStatics,
     R = _row_factor(arrays, state)
     if masked:
         F_new, key, _ = col_update.update_columns_masked(
-            arrays.data, mask, R, F, hypers.lam2, hypers.alpha,
+            arrays.data, mask_raw, R, F, hypers.lam2, hypers.alpha,
             sub_tol_eff, state.key, step_statics.max_cd_sweeps,
             alpha_is_zero=step_statics.alpha_is_zero,
             use_pallas=step_statics.use_pallas,

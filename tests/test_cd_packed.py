@@ -82,3 +82,31 @@ def test_packed_padding_tail():
                                      interpret=True, block=1024)
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-5,
                                atol=1e-5)
+
+
+def test_fused_kernels_accept_uint8_masks():
+    """Memory-lean uint8 mask storage: kernels convert per block in VMEM
+    and must compute exactly what the f32-mask path computes."""
+    from insider_tpu.kernels.row_pallas import row_xty_pallas
+
+    N, K, M = 40, 4, 1100
+    R, mask, wx, XtXt, Xty, beta0 = _problem(N, K, M, seed=7)
+    mask_u8 = mask.astype(jnp.uint8)
+
+    a = elastic_net_cd_fused_packed_pallas(mask, wx, R, beta0, 2.0, 0.5,
+                                           jnp.float32(1e-8), max_sweeps=60,
+                                           interpret=True, block=1024)
+    b = elastic_net_cd_fused_packed_pallas(mask_u8, wx, R, beta0, 2.0, 0.5,
+                                           jnp.float32(1e-8), max_sweeps=60,
+                                           interpret=True, block=1024)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    rng = np.random.default_rng(1)
+    L = 5
+    codes = rng.integers(0, L, N)
+    E = jnp.asarray(np.eye(L, dtype=np.float32)[codes])
+    D = jnp.matmul(E.T, wx, precision=HI)
+    F = jnp.asarray(rng.standard_normal((K, M)), jnp.float32)
+    r1 = row_xty_pallas(E, R, mask, D, F, block=512, interpret=True)
+    r2 = row_xty_pallas(E, R, mask_u8, D, F, block=512, interpret=True)
+    np.testing.assert_array_equal(np.asarray(r1), np.asarray(r2))
