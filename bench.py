@@ -295,6 +295,11 @@ def main():
     }
     if errors:
         out["detail"]["errors"] = errors
+    swallowed = resilience.get_swallowed()
+    if swallowed:
+        # every transiently-retried error, with traceback — so a real
+        # regression reclassified as a blip is still visible (ADVICE r4)
+        out["detail"]["retried_transient_errors"] = swallowed
     print(json.dumps(out))
     # A backend blip must not zero the round's perf record: partial results
     # still exit 0 (the error detail says what failed).  Only a run with NO

@@ -199,8 +199,16 @@ def split_mask_block(global_shape: Tuple[int, int],
     Deterministic in (seed, global element index): every process generates
     its own block and the blocks tile into one consistent global split —
     no process ever holds the full mask (the distributed-ingestion analog
-    of ratio_splitter; element-wise Bernoulli(ratio), see
-    native/insider_io.cpp for the exact-k trade-off note).
+    of ratio_splitter).
+
+    SPLITTER VARIANT (ADVICE r4): this is element-wise Bernoulli(ratio) on
+    a per-element splitmix64 stream, NOT the exact-floor(n*ratio)-element
+    selection of split_mask/ratio_splitter — exact-k selection needs a
+    global pass no process can do here.  The same (data, seed) therefore
+    yields a DIFFERENT train/test partition via the two ingestion paths;
+    runs are comparable only within one path.  build_problem_distributed
+    records the variant in Problem.split_variant so a mixed comparison is
+    detectable (see native/insider_io.cpp for the exact-k trade-off note).
     """
     N, M = global_shape
     (r0, r1), (c0, c1) = rows, cols
@@ -249,6 +257,11 @@ def file_ingest_callbacks(path: str, global_shape: Tuple[int, int],
     that shard's block — data via native block pread of the raw f32 file,
     masks via the deterministic block splitter.  No allocation ever exceeds
     one shard; every process sees a consistent global split.
+
+    NOTE the splitter-variant caveat on split_mask_block: the partition is
+    Bernoulli(ratio) per element, not ratio_splitter's exact-k sample — a
+    from-file distributed run and an in-memory run of the same (data,
+    seed) hold out different test elements (ADVICE r4).
     """
     N, M = global_shape
 

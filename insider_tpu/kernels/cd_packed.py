@@ -178,13 +178,16 @@ def _cd_packed_fused_kernel(fscal_ref, mask_ref, wx_ref, r_ref, beta0_ref,
 
     _build_gram_table(r_ref, tabhi_s, tabmid_s, tablo_s, rt_s, K)
     HI = lax.Precision.HIGHEST
-    for s in range(PACK):
-        m_s = mask_ref[:, 0, s, :]                            # (N, BL)
-        gram_s[:, s, :] = _planes_dot(tabhi_s[:], tabmid_s[:], tablo_s[:],
-                                      m_s)                    # (K^2, BL)
     xty_rows = []
     for s in range(PACK):
-        w_s = wx_ref[:, 0, s, :]                              # (N, BL)
+        m_s = mask_ref[:, 0, s, :]                            # (N, BL)
+        if m_s.dtype != jnp.float32:
+            m_s = m_s.astype(jnp.int32).astype(jnp.float32)
+        gram_s[:, s, :] = _planes_dot(tabhi_s[:], tabmid_s[:], tablo_s[:],
+                                      m_s)                    # (K^2, BL)
+        # wx_ref may hold raw data: masking in VMEM is idempotent for true
+        # wx, so the driver no longer keeps a persistent wx copy.
+        w_s = m_s * wx_ref[:, 0, s, :]                        # (N, BL)
         xty_rows.append(jnp.dot(rt_s[:], w_s, precision=HI,
                                 preferred_element_type=jnp.float32)[:, None])
     xty = jnp.concatenate(xty_rows, axis=1)                   # (K, 8, BL)
@@ -208,6 +211,42 @@ def _pack_cols(x, nb, BL):
 
 def _block_lanes(block: int) -> int:
     return max(128, (block // PACK // 128) * 128)
+
+
+# --- dispatch gates (ADVICE r4 medium) ---
+# The packed layout's minimum block is PACK*128 = 1024 columns; when the
+# VMEM budget (_auto_block / _auto_block_fused) allows less, _block_lanes
+# would silently floor BL at 128 lanes and the kernel would exceed the
+# budget — exactly the compile-time VMEM failure the fallback logic exists
+# to prevent.  Callers (ops/col_update.py) must check these and fall back
+# to the unpacked cd_pallas kernels (which honor sub-1024 blocks).
+
+# Go/no-go budget for the fixed 1024-column packed block.  Deliberately
+# higher than the block-sizing budgets (which are conservative so AUTO
+# blocks leave slack): the flagship packed kernel's compiler-reported VMEM
+# residency is 16.7 MB and compiles/runs on v5e, so the hard limit sits
+# above that; 15.5 MB of modeled residency keeps the flagship packed while
+# rejecting the K>=~40 / large-N shapes that genuinely exhaust VMEM.
+_PACKED_GATE_BUDGET = int(15.5 * 1024 * 1024)
+
+
+def packed_streamed_feasible(K: int, M: int,
+                             block: int = DEFAULT_BLOCK) -> bool:
+    from insider_tpu.kernels.fss_pallas import _auto_block
+    # M is passed as huge so the check tests the VMEM cap alone — a small
+    # problem (M < 1024) still runs the packed kernel fine, it just pads.
+    return (_auto_block(K, block, 1 << 30, big_tensors=2,
+                        budget=_PACKED_GATE_BUDGET) >= PACK * 128)
+
+
+def packed_fused_feasible(K: int, N: int, M: int,
+                          block: int = DEFAULT_BLOCK) -> bool:
+    from insider_tpu.kernels.fss_pallas import (_auto_block_fused,
+                                                fused_feasible)
+    if not fused_feasible(K, N, gj_scratch=False):
+        return False
+    return (_auto_block_fused(K, N, block, 1 << 30, gj_scratch=False,
+                              budget=_PACKED_GATE_BUDGET) >= PACK * 128)
 
 
 @functools.partial(

@@ -190,10 +190,15 @@ def _cd_fused_kernel(fscal_ref, mask_ref, wx_ref, r_ref, beta0_ref, out_ref,
     )
 
     _build_gram_table(r_ref, tabhi_s, tabmid_s, tablo_s, rt_s, K)
-    g = _planes_dot(tabhi_s[:], tabmid_s[:], tablo_s[:],
-                    mask_ref[:])                            # (K^2, BM)
+    m = mask_ref[:]
+    if m.dtype != jnp.float32:
+        m = m.astype(jnp.int32).astype(jnp.float32)
+    g = _planes_dot(tabhi_s[:], tabmid_s[:], tablo_s[:], m)  # (K^2, BM)
     gram_s[:] = g.reshape(K, K, g.shape[-1])
-    xty = jnp.dot(rt_s[:], wx_ref[:], precision=lax.Precision.HIGHEST,
+    # wx_ref may hold raw data: masking in VMEM is idempotent for true wx
+    # (0/1 mask), so the driver no longer keeps a persistent wx copy.
+    xty = jnp.dot(rt_s[:], m * wx_ref[:],
+                  precision=lax.Precision.HIGHEST,
                   preferred_element_type=jnp.float32)       # (K, BM)
     _cd_compute(fscal_ref, gram_s, xty, beta0_ref[:], out_ref,
                 diag_s, s_s, active_s, conv_s,

@@ -43,7 +43,8 @@ DEFAULT_BLOCK = 1024
 KKT_RTOL = 1e-5
 
 
-def _auto_block(K: int, block: int, M: int, big_tensors: int) -> int:
+def _auto_block(K: int, block: int, M: int, big_tensors: int,
+                budget: int = 12 * 1024 * 1024) -> int:
     """Largest lane-aligned column block whose VMEM footprint fits.
 
     The (K, K, BM) tensors dominate: the Gram input block is double-buffered
@@ -51,7 +52,7 @@ def _auto_block(K: int, block: int, M: int, big_tensors: int) -> int:
     `big_tensors` * K*K*BM*4 bytes of the ~16 MB VMEM budget.  A fixed block
     compiles fine at the flagship K=24 but blows VMEM around K>~40; scale it
     down instead of failing at compile time."""
-    cap = (12 * 1024 * 1024) // (big_tensors * K * K * 4)
+    cap = budget // (big_tensors * K * K * 4)
     cap = max(128, (cap // 128) * 128)
     want = min(block, max(128, 1 << (M - 1).bit_length()))
     return max(128, min(want, cap))
@@ -128,20 +129,30 @@ def _fss_compute(fscal_ref, xtx_ref, xty, beta0, out_ref,
             u_s[k, k:k + 1, :] = (u_s[k, k:k + 1, :] + l2 * a_k
                                   + (1.0 - a_k))
 
-        # --- unrolled Gauss-Jordan: after K steps rhs_s holds beta* ---
+        # --- unrolled Gaussian elimination + back-substitution ---
         # No pivoting needed: active principal blocks are SPD (ridge l2 on
         # the diagonal; Schur complements of SPD stay SPD), inactive pivots
-        # are exactly 1.
+        # are exactly 1.  Forward elimination touches only rows BELOW the
+        # pivot (sum_k (K-k-1)*K ops ~ K^3/2) and the unit-triangular
+        # back-substitution is O(K^2) — ~2x fewer VPU flops than the full
+        # K^3 Gauss-Jordan this replaces, on the component PROFILE_r04
+        # showed dominating the iteration (fss_solver_convergence_work).
         for k in range(K):
             piv = u_s[k, k:k + 1, :]                   # (1, BM)
             inv = 1.0 / piv
             rowk = u_s[k] * inv                        # (K, BM)
             rhsk = rhs_s[k:k + 1, :] * inv             # (1, BM)
-            colk = u_s[:, k, :]                        # (K, BM) snapshot
-            u_s[:] = u_s[:] - colk[:, None, :] * rowk[None, :, :]
-            rhs_s[:] = rhs_s[:] - colk * rhsk
             u_s[k] = rowk
             rhs_s[k:k + 1, :] = rhsk
+            if k + 1 < K:
+                colk = u_s[k + 1:, k, :]               # (K-k-1, BM)
+                u_s[k + 1:] = (u_s[k + 1:]
+                               - colk[:, None, :] * rowk[None, :, :])
+                rhs_s[k + 1:] = rhs_s[k + 1:] - colk * rhsk
+        for k in range(K - 1, 0, -1):
+            xk = rhs_s[k:k + 1, :]                     # (1, BM)
+            colk = u_s[:k, k, :]                       # (k, BM)
+            rhs_s[:k] = rhs_s[:k] - colk * xk
         beta_star = rhs_s[:]                           # (K, BM)
 
         # --- line search to the first sign crossing ---
@@ -328,15 +339,23 @@ def _fss_fused_kernel(fscal_ref, mask_ref, wx_ref, r_ref, beta0_ref, out_ref,
                       *, K: int, N: int, max_outer: int,
                       polish_sweeps: int = 0):
     """FSS with the per-column gram and Xty built IN KERNEL from the mask
-    and masked data blocks: the (K, K, M) gram never exists in HBM (the
-    streamed variant costs a ~100 MB write + read per iteration at flagship
-    scale).  The mask operand is exact in bf16, so the gram matmul uses the
-    same per-operand precision as ops/col_update.py."""
+    and data blocks: the (K, K, M) gram never exists in HBM (the streamed
+    variant costs a ~100 MB write + read per iteration at flagship scale).
+    The mask operand is exact in bf16, so the gram matmul uses the same
+    per-operand precision as ops/col_update.py.
+
+    wx_ref may hold either raw data or precomputed mask.*data: the kernel
+    multiplies by the mask in VMEM either way (idempotent for 0/1 masks),
+    so callers pass raw data and the persistent (N, M) wx copy the driver
+    used to keep is gone (round-5 capacity work)."""
     _build_gram_table(r_ref, tabhi_s, tabmid_s, tablo_s, rt_s, K)
-    g = _planes_dot(tabhi_s[:], tabmid_s[:], tablo_s[:],
-                    mask_ref[:])                            # (K^2, BM)
+    m = mask_ref[:]
+    if m.dtype != jnp.float32:
+        m = m.astype(jnp.int32).astype(jnp.float32)
+    g = _planes_dot(tabhi_s[:], tabmid_s[:], tablo_s[:], m)  # (K^2, BM)
     gram_s[:] = g.reshape(K, K, g.shape[-1])
-    xty = jnp.dot(rt_s[:], wx_ref[:], precision=lax.Precision.HIGHEST,
+    xty = jnp.dot(rt_s[:], m * wx_ref[:],
+                  precision=lax.Precision.HIGHEST,
                   preferred_element_type=jnp.float32)       # (K, BM)
     _fss_compute(fscal_ref, gram_s, xty, beta0_ref[:], out_ref,
                  u_s, rhs_s, theta_s, act_s, conv_s,
@@ -377,11 +396,14 @@ def fused_feasible(K: int, N: int, gj_scratch: bool = True) -> bool:
 
 
 def _auto_block_fused(K: int, N: int, block: int, M: int,
-                      gj_scratch: bool = True) -> int:
+                      gj_scratch: bool = True,
+                      budget: int = None) -> int:
     """VMEM-fitting column block for the gram-fused kernels (callers must
     check fused_feasible first)."""
+    if budget is None:
+        budget = _FUSED_VMEM_BUDGET
     fixed, per_lane = _fused_vmem_model(K, N, gj_scratch)
-    cap = max(128, ((_FUSED_VMEM_BUDGET - fixed) // per_lane // 128) * 128)
+    cap = max(128, ((budget - fixed) // per_lane // 128) * 128)
     want = min(block, max(128, 1 << (M - 1).bit_length()))
     return max(128, min(want, cap))
 

@@ -96,13 +96,30 @@ def row_kernels_feasible(N: int, n_levels, K: int) -> bool:
     """Can the fused row kernels run at this shape (>=128-lane blocks)?
 
     The driver (train/als.py) checks this before dispatching
-    use_row_kernels; infeasible shapes (large local row counts, ADVICE r3)
-    take update_row_factor_masked_fast instead of failing at compile time.
+    use_row_kernels; infeasible shapes take update_row_factor_masked_fast
+    instead of failing at compile time (ADVICE r3).  Large row counts that
+    the single-shot xty kernel cannot hold in VMEM dispatch to the
+    row-chunked variant (round 5), so feasibility is the union.
     """
     L_max = max(n_levels)
     L_tot = sum(n_levels)
-    return (_auto_block_xty(N, L_max, K, DEFAULT_BLOCK, 128) >= 128
-            and _auto_block_gram(L_tot, K, DEFAULT_BLOCK, 128) >= 128)
+    if _auto_block_gram(L_tot, K, DEFAULT_BLOCK, 128) < 128:
+        return False
+    if _auto_block_xty(N, L_max, K, DEFAULT_BLOCK, 128) >= 128:
+        return True
+    return _auto_chunks_xty(N, L_max, K, 128)[0] >= 128
+
+
+def row_xty_auto(E, R_minus, mask, D, F, interpret: bool = False):
+    """Dispatch: single-shot kernel when the whole (N, L)/(N, K) operands
+    fit in VMEM (flagship shapes), row-chunked otherwise (capacity
+    shapes)."""
+    N, L = E.shape
+    K, M = F.shape
+    if _auto_block_xty(N, L, K, DEFAULT_BLOCK, M) >= 128:
+        return row_xty_pallas(E, R_minus, mask, D, F, interpret=interpret)
+    return row_xty_chunked_pallas(E, R_minus, mask, D, F,
+                                  interpret=interpret)
 
 
 def _xty_kernel(e_ref, r_ref, mask_ref, d_ref, f_ref, out_ref,
@@ -190,6 +207,136 @@ def row_xty_pallas(
         out_specs=pl.BlockSpec((L, K), lambda i: (0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((L, K), jnp.float32),
+        interpret=interpret,
+    )(E, R_minus, mask, D, F)
+
+
+def _xty_chunked_kernel(e_ref, r_ref, mask_ref, d_ref, f_ref, out_ref,
+                        t_acc, *, exact01: bool, N: int, M: int, BN: int,
+                        nrb: int):
+    """Row-chunked variant: grid (column blocks OUTER, row chunks INNER).
+
+    The (L, BM) masked-prediction sums T accumulate in VMEM across the row
+    chunks of each column block; D is subtracted from the COMPLETE T before
+    the (L, K) contraction — same per-column-block cancellation property as
+    the single-shot kernel (ADVICE r3), now independent of N."""
+    j = pl.program_id(0)
+    i = pl.program_id(1)
+
+    @pl.when((j == 0) & (i == 0))
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    @pl.when(i == 0)
+    def _():
+        t_acc[:] = jnp.zeros_like(t_acc)
+
+    BM = t_acc.shape[-1]
+    r = r_ref[:]                                             # (BN, K)
+    m = mask_ref[:]
+    if m.dtype != jnp.float32:
+        m = m.astype(jnp.int32).astype(jnp.float32)
+    e = e_ref[:]
+    if e.dtype != jnp.float32:
+        e = e.astype(jnp.int32).astype(jnp.float32)
+    if N % BN != 0:
+        # zero ragged tail rows (OOB garbage may be NaN: 0*NaN = NaN, so
+        # the masked product below needs finite operands)
+        rv = (i * BN + lax.broadcasted_iota(jnp.int32, (BN, 1), 0)) < N
+        r = jnp.where(rv, r, 0.0)
+        m = jnp.where(rv, m, 0.0)
+        e = jnp.where(rv, e, 0.0)
+    P = jnp.dot(r, f_ref[:], precision=HIGHEST,
+                preferred_element_type=jnp.float32)          # (BN, BM)
+    masked = m * P
+    if M % BM != 0:
+        # the (L, K) output is a reduction over ALL columns, so OOB
+        # column-tail garbage in mask/D/F would contaminate it (unlike the
+        # solver kernels, whose padded output columns are just sliced off)
+        cv = (j * BM + lax.broadcasted_iota(jnp.int32, (1, BM), 1)) < M
+        masked = jnp.where(cv, masked, 0.0)
+    if exact01:
+        from insider_tpu.kernels.fss_pallas import _bf16_planes
+
+        e16 = e.astype(jnp.bfloat16).T                       # (L, BN)
+        hi, mid, lo = _bf16_planes(masked)
+        t_acc[:] += (jnp.dot(e16, hi, preferred_element_type=jnp.float32)
+                     + jnp.dot(e16, mid, preferred_element_type=jnp.float32)
+                     + jnp.dot(e16, lo, preferred_element_type=jnp.float32))
+    else:
+        t_acc[:] += jnp.dot(e.T, masked, precision=HIGHEST,
+                            preferred_element_type=jnp.float32)
+
+    @pl.when(i == nrb - 1)
+    def _():
+        S = d_ref[:] - t_acc[:]
+        f = f_ref[:]
+        if M % BM != 0:
+            cv = (j * BM
+                  + lax.broadcasted_iota(jnp.int32, (1, BM), 1)) < M
+            S = jnp.where(cv, S, 0.0)
+            f = jnp.where(cv, f, 0.0)
+        out_ref[:] += jnp.dot(S, f.T, precision=HIGHEST,
+                              preferred_element_type=jnp.float32)
+
+
+def _auto_chunks_xty(N: int, L: int, K: int, M: int):
+    """(BN, BM) for the chunked kernel: per lane mask x2 + P + product
+    (~13 BN B with uint8 masks, 20 conservatively), D x2 + T_acc (12 L B),
+    F x2 (8 K B); fixed E/R chunks."""
+    BN = min(1024, max(128, 1 << (N - 1).bit_length()))
+    while BN >= 128:
+        fixed = 2 * 4 * BN * (L + K)
+        per_lane = 20 * BN + 12 * L + 8 * K
+        cap = (_VMEM_BUDGET - fixed) // per_lane
+        cap = (cap // 128) * 128
+        if cap >= 128:
+            return BN, min(512, cap, max(128, 1 << (M - 1).bit_length()))
+        BN //= 2
+    return 0, 0
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def row_xty_chunked_pallas(
+    E: jax.Array,        # (N, L) one-hot membership
+    R_minus: jax.Array,  # (N, K)
+    mask: jax.Array,     # (N, M) 0/1, f32 or uint8
+    D: jax.Array,        # (L, M)
+    F: jax.Array,        # (K, M)
+    interpret: bool = False,
+) -> jax.Array:
+    """row_xty_pallas for row counts the single-shot kernel cannot hold in
+    VMEM: 2-D grid over (column blocks x row chunks).  Identical math; the
+    f32 accumulation order differs (chunked)."""
+    N, L = E.shape
+    K, M = F.shape
+    BN, BM = _auto_chunks_xty(N, L, K, M)
+    if BN == 0:
+        raise ValueError(f"row_xty_chunked_pallas infeasible at L={L}")
+    nrb = -(-N // BN)
+    ncb = -(-M // BM)
+
+    kernel = functools.partial(_xty_chunked_kernel, exact01=(L >= 8),
+                               N=N, M=M, BN=BN, nrb=nrb)
+    return pl.pallas_call(
+        kernel,
+        grid=(ncb, nrb),
+        in_specs=[
+            pl.BlockSpec((BN, L), lambda j, i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((BN, K), lambda j, i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((BN, BM), lambda j, i: (i, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((L, BM), lambda j, i: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((K, BM), lambda j, i: (0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((L, K), lambda j, i: (0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((L, K), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((L, BM), jnp.float32)],
         interpret=interpret,
     )(E, R_minus, mask, D, F)
 

@@ -244,6 +244,31 @@ def _shard_cols(mesh, fn, XtXt, Xty, beta0):
     return wrapped(XtXt, Xty, beta0)
 
 
+def _shard_gram_xty(mesh, mask, data, R):
+    """Streamed gram+Xty builder kernel over the mesh: per-device blocks of
+    the (K, K, M) grams and (K, M) Xty with partial row sums psum'd over
+    'rows' — no (N, M) transients (kernels/gram_pallas.py)."""
+    from insider_tpu.kernels.gram_pallas import col_gram_xty_pallas
+
+    if mesh is None:
+        return col_gram_xty_pallas(mask, data, R)
+    from jax.sharding import PartitionSpec as P
+
+    try:
+        from jax import shard_map
+    except ImportError:
+        from jax.experimental.shard_map import shard_map
+
+    wrapped = shard_map(
+        lambda m, d, r: jax.lax.psum(col_gram_xty_pallas(m, d, r), "rows"),
+        mesh=mesh,
+        in_specs=(P("rows", "cols"), P("rows", "cols"), P("rows", None)),
+        out_specs=(P(None, None, "cols"), P(None, "cols")),
+        check_vma=False,
+    )
+    return wrapped(mask, data, R)
+
+
 def _shard_cols_fused(mesh, fn, mask, wx, R, beta0):
     """Column-sharded run of the gram-fused kernel (mesh rows must be 1 so
     the row axis is fully device-local; the caller guarantees this)."""
@@ -297,14 +322,22 @@ def update_columns_masked(
     if alpha_is_zero is None:
         alpha_is_zero = alpha == 0.0
     mask_f = mask if mask.dtype == R.dtype else mask.astype(R.dtype)
-    if masked_data is None:
-        masked_data = mask_f * data
+
+    # The gram-fused Pallas kernels multiply data by the mask in VMEM, so
+    # they take RAW data — no (N, M) wx copy exists in HBM, persistent or
+    # transient (round-5 capacity work).  Only the jnp/streamed paths below
+    # need the materialized product; compute it lazily.
+    fused_wx = data if masked_data is None else masked_data
+
+    def _masked_data():
+        return mask_f * data if masked_data is None else masked_data
+
     # NOTE: Xty is only needed by the non-fused paths; the gram-fused Pallas
     # kernels build it in VMEM.  Compute it lazily so an eager caller on a
     # fused path never pays the (K,N)@(N,M) matmul (ADVICE r3).
     if alpha_is_zero:
         from insider_tpu.ops.row_update import _ridge_solve_batched
-        Xty = jnp.matmul(R.T, masked_data, precision=HIGHEST)  # (K, M)
+        Xty = jnp.matmul(R.T, _masked_data(), precision=HIGHEST)  # (K, M)
         XtX = col_gram_masked(R, mask_f)                # (M, K, K)
         F = _ridge_solve_batched(XtX, Xty.T, lam).T
         return F, key, jnp.int32(0)
@@ -333,11 +366,14 @@ def update_columns_masked(
                     lambda mk, w, r, b0: feature_sign_fused_pallas(
                         mk, w, r, b0, lam, alpha, max_fss_outer,
                         polish_sweeps=polish, tol=tol),
-                    mask, masked_data, R, F_prev,
+                    mask, fused_wx, R, F_prev,
                 )
                 return F, key, jnp.int32(-3)
-            Xty = jnp.matmul(R.T, masked_data, precision=HIGHEST)
-            XtXt = col_gram_masked_t(R, mask_f)         # (K, K, M)
+            # streamed grams built by kernel — no (N, M) transients
+            # (the XLA form materialized the widened mask AND mask.*data)
+            XtXt, Xty = _shard_gram_xty(mesh, mask,
+                                        data if masked_data is None
+                                        else masked_data, R)
             F = _shard_cols(
                 mesh,
                 lambda xt, xy, b0: feature_sign_pallas(
@@ -348,7 +384,7 @@ def update_columns_masked(
             return F, key, jnp.int32(-2)
         from insider_tpu.ops.fss import feature_sign_batched
 
-        Xty = jnp.matmul(R.T, masked_data, precision=HIGHEST)
+        Xty = jnp.matmul(R.T, _masked_data(), precision=HIGHEST)
         XtX = col_gram_masked(R, mask_f)
         F, outers = feature_sign_batched(XtX, Xty, F_prev, lam, alpha,
                                          max_fss_outer)
@@ -361,10 +397,19 @@ def update_columns_masked(
         # Sublane-packed CD kernels (kernels/cd_packed.py): identical
         # iteration to cd_pallas.py with the column axis laid out as
         # (8, BM/8) tiles — measured ~1.5x on hardware (the sweep
-        # bookkeeping runs on full vregs).
+        # bookkeeping runs on full vregs).  The packed layout needs a
+        # >=1024-column block; when the VMEM budget allows less (large K
+        # or N), fall back to the unpacked kernels, which honor sub-1024
+        # blocks (ADVICE r4 medium).
         from insider_tpu.kernels.cd_packed import (
             elastic_net_cd_fused_packed_pallas,
             elastic_net_cd_packed_pallas,
+            packed_fused_feasible,
+            packed_streamed_feasible,
+        )
+        from insider_tpu.kernels.cd_pallas import (
+            elastic_net_cd_fused_pallas,
+            elastic_net_cd_pallas,
         )
         from insider_tpu.kernels.fss_pallas import fused_feasible
         # Randomize coordinate order by permuting R's columns (one order per
@@ -372,30 +417,45 @@ def update_columns_masked(
         # un-permute the solution.
         key, sub = jax.random.split(key)
         K = R.shape[1]
+        N = R.shape[0]
+        M = mask.shape[1]
         perm = jax.random.permutation(sub, K)
         inv = jnp.argsort(perm)
         Rp = R[:, perm]
         beta0 = F_prev[perm]
         rows_local = mesh is None or dict(mesh.shape).get("rows", 1) == 1
-        if rows_local and fused_feasible(K, R.shape[0], gj_scratch=False):
+        if rows_local and fused_feasible(K, N, gj_scratch=False):
             # Gram-fused variant (see the fss branch above).
+            if packed_fused_feasible(K, N, M):
+                fused_fn = elastic_net_cd_fused_packed_pallas
+                tag = -4
+            else:
+                fused_fn = elastic_net_cd_fused_pallas
+                tag = -5
             F = _shard_cols_fused(
                 mesh,
-                lambda mk, w, r, b0: elastic_net_cd_fused_packed_pallas(
+                lambda mk, w, r, b0: fused_fn(
                     mk, w, r, b0, lam, alpha, tol, max_sweeps),
-                mask, masked_data, Rp, beta0,
+                mask, fused_wx, Rp, beta0,
             )
-            return F[inv], key, jnp.int32(-4)
-        XtXt = col_gram_masked_t(Rp, mask_f)            # (K, K, M)
-        Xty_p = jnp.matmul(Rp.T, masked_data, precision=HIGHEST)
+            return F[inv], key, jnp.int32(tag)
+        XtXt, Xty_p = _shard_gram_xty(mesh, mask,
+                                      data if masked_data is None
+                                      else masked_data, Rp)
+        if packed_streamed_feasible(K, M):
+            streamed_fn = elastic_net_cd_packed_pallas
+            tag = -1
+        else:
+            streamed_fn = elastic_net_cd_pallas
+            tag = -6
         F = _shard_cols(
             mesh,
-            lambda xt, xy, b0: elastic_net_cd_packed_pallas(
+            lambda xt, xy, b0: streamed_fn(
                 xt, xy, b0, lam, alpha, tol, max_sweeps),
             XtXt, Xty_p, beta0,
         )
-        return F[inv], key, jnp.int32(-1)
-    Xty = jnp.matmul(R.T, masked_data, precision=HIGHEST)
+        return F[inv], key, jnp.int32(tag)
+    Xty = jnp.matmul(R.T, _masked_data(), precision=HIGHEST)
     XtX = col_gram_masked(R, mask_f)
     return elastic_net_cd(XtX, Xty, F_prev, lam, alpha, tol, key, max_sweeps)
 

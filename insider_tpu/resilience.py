@@ -37,19 +37,36 @@ logger = logging.getLogger("insider_tpu.resilience")
 
 T = TypeVar("T")
 
-_TRANSIENT_MARKERS = (
-    "FAILED_PRECONDITION",
-    "FailedPrecondition",
-    "UNAVAILABLE",
-    "Unavailable",
-    "DEADLINE_EXCEEDED",
-    "DeadlineExceeded",
-    "INTERNAL",
-    "Socket closed",
-    "connection",
-    "Connection",
-    "ABORTED",
+# Status-code markers in the "CODE:" form the XLA runtime uses at message
+# start ("FAILED_PRECONDITION: TPU backend error ...").  Requiring the
+# colon-suffixed form (ADVICE r4) stops genuine failures whose prose merely
+# mentions a word like "connection" from being reclassified as blips.
+_TRANSIENT_STATUS = (
+    "FAILED_PRECONDITION:",
+    "UNAVAILABLE:",
+    "DEADLINE_EXCEEDED:",
+    "ABORTED:",
+)
+# INTERNAL: is ambiguous — the compiler reports its own bugs as
+# "INTERNAL: ..." too, and those are deterministic.  Retry it only when
+# the message also implicates the transport/backend layer.
+_INTERNAL_CONTEXT = (
     "TPU backend error",
+    "Socket closed",
+    "socket",
+    "stream",
+    "transfer",
+    "network",
+    "connection reset",
+    "Connection reset",
+)
+_CONNECTION_MARKERS = (
+    "Socket closed",
+    "Connection reset",
+    "connection reset",
+    "Broken pipe",
+    "ECONNRESET",
+    "EPIPE",
 )
 _NON_TRANSIENT_MARKERS = (
     "RESOURCE_EXHAUSTED",    # OOM: deterministic, retry cannot help
@@ -57,6 +74,28 @@ _NON_TRANSIENT_MARKERS = (
     "INVALID_ARGUMENT",
     "OUT_OF_RANGE",
 )
+
+# Every error swallowed by a retry layer, with its full traceback — the
+# capture scripts (bench.py, tools/*) attach this to their JSON artifacts
+# so a silently-retried real regression is still visible (ADVICE r4).
+_SWALLOWED: list = []
+
+
+def get_swallowed() -> list:
+    """Records of every transient-classified error retried this process."""
+    return list(_SWALLOWED)
+
+
+def _record_swallowed(where: str, exc: BaseException) -> None:
+    import traceback
+
+    _SWALLOWED.append({
+        "where": where,
+        "error": f"{type(exc).__name__}: {exc}",
+        "traceback": "".join(traceback.format_exception(
+            type(exc), exc, exc.__traceback__))[-4000:],
+        "time": time.time(),
+    })
 
 
 def is_transient(exc: BaseException) -> bool:
@@ -73,7 +112,16 @@ def is_transient(exc: BaseException) -> bool:
     msg = f"{type(exc).__name__}: {exc}"
     if any(m in msg for m in _NON_TRANSIENT_MARKERS):
         return False
-    return any(m in msg for m in _TRANSIENT_MARKERS)
+    if any(m in msg for m in _TRANSIENT_STATUS):
+        return True
+    if "INTERNAL:" in msg and any(m in msg for m in _INTERNAL_CONTEXT):
+        return True
+    # Raw transport failures surface as OSError/ConnectionError subclasses;
+    # only those types get the connection-prose markers.
+    if isinstance(exc, OSError) and any(m in msg
+                                        for m in _CONNECTION_MARKERS):
+        return True
+    return False
 
 
 def _device_get(x):
@@ -100,6 +148,7 @@ def fetch(x, attempts: int = 4, base_delay: float = 1.0):
             if not is_transient(e):
                 raise
             last = e
+            _record_swallowed("fetch", e)
             delay = base_delay * (2.0 ** k)
             logger.warning(
                 "transient backend error on fetch (attempt %d/%d): %s; "
@@ -148,6 +197,7 @@ def run_resilient(make: Callable[[], T], attempts: int = 3,
             if not is_transient(e):
                 raise
             last = e
+            _record_swallowed("run_resilient", e)
             logger.warning(
                 "transient backend error (attempt %d/%d): %s", k + 1,
                 attempts, e)

@@ -50,7 +50,6 @@ class RowPrecomp(NamedTuple):
     mw: Tuple[Optional[jax.Array], ...]      # masked: E^T @ mask (L, M)
     d: Tuple[Optional[jax.Array], ...]       # masked: E^T(W.*X); dense: E^T X
     counts: Tuple[Optional[jax.Array], ...]  # (L,)
-    wx: Optional[jax.Array]                  # masked: W .* X (N, M)
     ctns_q: Optional[jax.Array]              # (P, M) = (c_j^2)^T W
     ctns_bc: Optional[jax.Array]             # (P, M) = c_j^T (W .* X)
     ctns_dc: Optional[jax.Array]             # (P, M) = c_j^T X   (dense path)
@@ -143,6 +142,12 @@ class Problem:
 
     arrays: ProblemArrays
     statics: ProblemStatics
+    # Which train/test splitter produced the masks, when known:
+    # "exact_k" (ratio_splitter / native split_mask) or "bernoulli_block"
+    # (distributed per-block splitter, data/native.py) — the two yield
+    # DIFFERENT partitions for the same (data, seed); recorded so
+    # mixed-path comparisons are detectable (ADVICE r4).
+    split_variant: Optional[str] = None
 
     @property
     def shape(self):
@@ -302,9 +307,15 @@ def build_problem_distributed(
     test_d = _to_global(test_indicator, mat, (N, M), np_m)
     codes_d = [_to_global(c, P("rows"), (N,), np.int32) for c in codes]
     ctns_d = _to_global(ctns_confounder, P("rows", None), (N, n_ctns), np_f)
-    return _finish_problem(data_d, train_d, test_d, codes_d, ctns_d,
+    prob = _finish_problem(data_d, train_d, test_d, codes_d, ctns_d,
                            list(n_levels), masked, mesh,
                            precompute=precompute)
+    # Callback-built masks come from the per-block Bernoulli splitter
+    # (data/native.py split_mask_block), which partitions differently from
+    # ratio_splitter's exact-k sample — record the variant (ADVICE r4).
+    prob.split_variant = ("bernoulli_block" if callable(train_indicator)
+                          else None)
+    return prob
 
 
 # Memory budget for the one-hot fast path: skip it for a confounder whose
@@ -313,16 +324,40 @@ _FAST_E_BYTES = 256 * 1024 * 1024
 _FAST_LM_BYTES = 512 * 1024 * 1024
 
 
+# Column-chunk the precompute contractions when the (N, M) transients they
+# need (widened mask, mask .* data) would exceed this budget — at the
+# capacity shapes a whole-matrix wx is an 8+ GB transient that OOMs setup
+# even though the steady-state iteration fits (round-5 capacity work).
+_PRECOMPUTE_TRANSIENT_BYTES = 1 * 1024 * 1024 * 1024
+
+
+def _chunked_cols(fn_chunk, M, chunk):
+    """Concatenate fn_chunk(c0, c1) blocks along the column axis."""
+    outs = [fn_chunk(c0, min(c0 + chunk, M)) for c0 in range(0, M, chunk)]
+    return jnp.concatenate(outs, axis=1) if len(outs) > 1 else outs[0]
+
+
 def _precompute_row_constants(data, mask, codes, n_levels, ctns, masked
                               ) -> RowPrecomp:
     from insider_tpu.ops.row_update import one_hot_levels
 
     N, M = data.shape
     HI = HIGHEST
-    if mask.dtype != data.dtype:
-        mask = mask.astype(data.dtype)
+    chunk = M
+    if N * M * 4 > _PRECOMPUTE_TRANSIENT_BYTES:
+        chunk = max(1024, _PRECOMPUTE_TRANSIENT_BYTES // (4 * N) // 256 * 256)
+
+    def mask_f(c0, c1):
+        m = mask[:, c0:c1]
+        return m if m.dtype == data.dtype else m.astype(data.dtype)
+
+    def wx_c(c0, c1):
+        # wx = mask .* data exists only chunk-transiently; the column
+        # kernels multiply by the mask in VMEM, so no persistent (N, M)
+        # wx copy is kept (round 5: it doubled the data footprint).
+        return mask_f(c0, c1) * data[:, c0:c1]
+
     e, mw, d, counts = [], [], [], []
-    wx = mask * data if masked else None
     for c, L in zip(codes, n_levels):
         if N * L * 4 > _FAST_E_BYTES or 2 * L * M * 4 > _FAST_LM_BYTES:
             e.append(None)
@@ -334,21 +369,33 @@ def _precompute_row_constants(data, mask, codes, n_levels, ctns, masked
         e.append(E)
         counts.append(jnp.sum(E, axis=0))
         if masked:
-            mw.append(jnp.matmul(E.T, mask, precision=HI))
-            d.append(jnp.matmul(E.T, wx, precision=HI))
+            mw.append(_chunked_cols(
+                lambda c0, c1: jnp.matmul(E.T, mask_f(c0, c1), precision=HI),
+                M, chunk))
+            d.append(_chunked_cols(
+                lambda c0, c1: jnp.matmul(E.T, wx_c(c0, c1), precision=HI),
+                M, chunk))
         else:
             mw.append(None)
-            d.append(jnp.matmul(E.T, data, precision=HI))
+            d.append(_chunked_cols(
+                lambda c0, c1: jnp.matmul(E.T, data[:, c0:c1], precision=HI),
+                M, chunk))
     q = bc = dc = cc = None
     if ctns is not None:
         cc = jnp.sum(ctns * ctns, axis=0)                      # (P,)
         if masked:
-            q = jnp.matmul((ctns * ctns).T, mask, precision=HI)   # (P, M)
-            bc = jnp.matmul(ctns.T, wx, precision=HI)             # (P, M)
+            q = _chunked_cols(
+                lambda c0, c1: jnp.matmul((ctns * ctns).T, mask_f(c0, c1),
+                                          precision=HI), M, chunk)  # (P, M)
+            bc = _chunked_cols(
+                lambda c0, c1: jnp.matmul(ctns.T, wx_c(c0, c1),
+                                          precision=HI), M, chunk)  # (P, M)
         else:
-            dc = jnp.matmul(ctns.T, data, precision=HI)           # (P, M)
+            dc = _chunked_cols(
+                lambda c0, c1: jnp.matmul(ctns.T, data[:, c0:c1],
+                                          precision=HI), M, chunk)
     return RowPrecomp(e=tuple(e), mw=tuple(mw), d=tuple(d),
-                      counts=tuple(counts), wx=wx, ctns_q=q, ctns_bc=bc,
+                      counts=tuple(counts), ctns_q=q, ctns_bc=bc,
                       ctns_dc=dc, ctns_cc=cc)
 
 
@@ -359,12 +406,14 @@ def _shard_row_xty(mesh, E, R_minus, mask, D, F):
 
     D (the constant E^T(mask .* data)) is subtracted inside the kernel
     before the (L, K) contraction (cancellation fix, kernels/row_pallas.py);
-    with R row shards each shard carries D/R so the psum restores D exactly
-    up to one ulp (exact for power-of-two R)."""
-    from insider_tpu.kernels.row_pallas import row_xty_pallas
+    with multiple row shards, the FULL D is carried by row-shard 0 only
+    (ADVICE r4: the old d/R float scaling restored D through the psum only
+    up to rounding for non-power-of-two meshes) — exact for ANY mesh size,
+    and for rows == 1 identical to the single-shard cancellation form."""
+    from insider_tpu.kernels.row_pallas import row_xty_auto
 
     if mesh is None:
-        return row_xty_pallas(E, R_minus, mask, D, F)
+        return row_xty_auto(E, R_minus, mask, D, F)
     from jax.sharding import PartitionSpec as P
 
     try:
@@ -372,10 +421,12 @@ def _shard_row_xty(mesh, E, R_minus, mask, D, F):
     except ImportError:
         from jax.experimental.shard_map import shard_map
 
-    inv_rows = 1.0 / dict(mesh.shape).get("rows", 1)
     fn = shard_map(
         lambda e, r, m, d, f: lax.psum(
-            row_xty_pallas(e, r, m, d * inv_rows, f), ("rows", "cols")),
+            row_xty_auto(
+                e, r, m,
+                d * (lax.axis_index("rows") == 0).astype(d.dtype), f),
+            ("rows", "cols")),
         mesh=mesh,
         in_specs=(P("rows", None), P("rows", None), P("rows", "cols"),
                   P(None, "cols"), P(None, "cols")),
@@ -583,7 +634,6 @@ def _als_iteration(arrays: ProblemArrays, statics: ProblemStatics,
             sub_tol_eff, state.key, step_statics.max_cd_sweeps,
             alpha_is_zero=step_statics.alpha_is_zero,
             use_pallas=step_statics.use_pallas,
-            masked_data=None if pre is None else pre.wx,
             mesh=statics.mesh,
             solver=step_statics.col_solver,
             max_fss_outer=step_statics.max_fss_outer,
@@ -622,20 +672,35 @@ def _run_steps(arrays: ProblemArrays, statics: ProblemStatics,
 
 
 def _evaluate_impl(arrays: ProblemArrays, statics: ProblemStatics,
-                   state: InsiderState):
+                   state: InsiderState,
+                   step_statics: Optional[StepStatics] = None):
     R = _row_factor(arrays, state)
-    residual = arrays.data - losses.predict(R, state.column_factor)
-    if statics.masked:
-        ev = losses.evaluate_masked(residual, arrays.train_mask,
-                                    arrays.test_mask)
+    if (step_statics is not None and step_statics.use_pallas
+            and statics.masked and statics.mesh is None):
+        # Fused evaluation kernel: residual blocks live only in VMEM — no
+        # (N, M) predict/residual HBM transients (the round-4 scale
+        # ladder's peak-memory spike) and ~1/3 the boundary-eval HBM
+        # traffic.  Single-mesh only; the sharded path keeps the jnp form
+        # whose GSPMD partitioning reproduces the exact tree sum.
+        from insider_tpu.kernels.eval_pallas import masked_eval_pallas
+
+        tr, te, nt, ne = masked_eval_pallas(
+            arrays.data, arrays.train_mask, arrays.test_mask, R,
+            state.column_factor)
+        ev = losses.EvalSums(tr, te, nt, ne)
     else:
-        ev = losses.evaluate_dense(residual)
+        residual = arrays.data - losses.predict(R, state.column_factor)
+        if statics.masked:
+            ev = losses.evaluate_masked(residual, arrays.train_mask,
+                                        arrays.test_mask)
+        else:
+            ev = losses.evaluate_dense(residual)
     reg = losses.regularization_sums(state.cfd_factors, state.ctns_factor,
                                      state.column_factor)
     return ev, reg
 
 
-_evaluate = partial(jax.jit, static_argnums=(1,))(_evaluate_impl)
+_evaluate = partial(jax.jit, static_argnums=(1, 3))(_evaluate_impl)
 
 
 @partial(jax.jit, static_argnums=(1, 2))
@@ -654,7 +719,7 @@ def _run_steps_eval_checked(arrays: ProblemArrays, statics: ProblemStatics,
                                   sub_tol_eff)
 
         state2 = lax.fori_loop(0, n_steps, body, state)
-        ev, reg = _evaluate_impl(arrays, statics, state2)
+        ev, reg = _evaluate_impl(arrays, statics, state2, step_statics)
         return state2, losses.pack_metrics(ev, reg)
 
     checked = checkify.checkify(f, errors=checkify.user_checks)
@@ -682,7 +747,7 @@ def _run_steps_eval(arrays: ProblemArrays, statics: ProblemStatics,
                               sub_tol_eff)
 
     state = lax.fori_loop(0, n_steps, body, state)
-    ev, reg = _evaluate_impl(arrays, statics, state)
+    ev, reg = _evaluate_impl(arrays, statics, state, step_statics)
     return state, losses.pack_metrics(ev, reg)
 
 

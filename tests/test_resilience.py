@@ -32,6 +32,36 @@ def test_is_transient_classification():
     assert not resilience.is_transient(
         RuntimeError("INVALID_ARGUMENT: shapes do not match"))
     assert not resilience.is_transient(RuntimeError("some other failure"))
+    # ADVICE r4: broad-substring matches must not reclassify real failures
+    # as blips — a compiler bug reported as INTERNAL, or prose that merely
+    # mentions a connection, are deterministic.
+    assert not resilience.is_transient(
+        RuntimeError("INTERNAL: ran out of registers while compiling"))
+    assert not resilience.is_transient(
+        RuntimeError("bad graph: node has no connection to output"))
+    # ... while genuinely transport-flavored INTERNAL errors still retry
+    assert resilience.is_transient(
+        RuntimeError("INTERNAL: TPU backend error: Socket closed"))
+    assert resilience.is_transient(
+        ConnectionResetError(104, "Connection reset by peer"))
+
+
+def test_swallowed_errors_are_recorded():
+    before = len(resilience.get_swallowed())
+    calls = {"n": 0}
+
+    def flaky():
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise RuntimeError("UNAVAILABLE: Socket closed")
+        return 42
+
+    assert resilience.run_resilient(flaky, attempts=2,
+                                    reset_between=False) == 42
+    rec = resilience.get_swallowed()[before:]
+    assert len(rec) == 1
+    assert "UNAVAILABLE" in rec[0]["error"]
+    assert "traceback" in rec[0] and "flaky" in rec[0]["traceback"]
 
 
 def test_fetch_retries_transient_then_succeeds(monkeypatch):

@@ -69,7 +69,10 @@ def test_feasibility_gate():
 
     # flagship shape: feasible
     assert row_kernels_feasible(377, [2, 16, 8, 107], 24)
-    # BASELINE-target row counts: must report infeasible, not crash at
-    # compile time (ADVICE r3)
-    assert not row_kernels_feasible(50_000, [2, 16, 8, 107], 24)
-    assert not row_kernels_feasible(500_000, [100], 32)
+    # BASELINE-target row counts: feasible via the row-chunked xty kernel
+    # (round 5 — the r4 single-shot kernel capped N at VMEM)
+    assert row_kernels_feasible(50_000, [2, 16, 8, 107], 24)
+    assert row_kernels_feasible(500_000, [100], 32)
+    # a level count whose (L, K^2) gram output cannot fit VMEM must still
+    # report infeasible, not crash at compile time (ADVICE r3)
+    assert not row_kernels_feasible(377, [5000], 24)

@@ -14,16 +14,21 @@ from insider_tpu.sharding.mesh import make_mesh
 
 @pytest.fixture()
 def interp_kernel(monkeypatch):
-    # the driver's cd dispatch uses the sublane-packed kernels
-    for name in ("elastic_net_cd_packed_pallas",
-                 "elastic_net_cd_fused_packed_pallas"):
-        orig = getattr(cdpk, name)
+    import insider_tpu.kernels.gram_pallas as gramp
+
+    # the driver's cd dispatch uses the sublane-packed kernels; the
+    # streamed path additionally builds its grams with the
+    # col_gram_xty_pallas kernel
+    for mod, name in ((cdpk, "elastic_net_cd_packed_pallas"),
+                      (cdpk, "elastic_net_cd_fused_packed_pallas"),
+                      (gramp, "col_gram_xty_pallas")):
+        orig = getattr(mod, name)
 
         def interp(*args, _orig=orig, **kw):
             kw["interpret"] = True
             return _orig(*args, **kw)
 
-        monkeypatch.setattr(cdpk, name, interp)
+        monkeypatch.setattr(mod, name, interp)
     yield
 
 

@@ -278,7 +278,8 @@ def main():
     from insider_tpu.kernels.cd_pallas import elastic_net_cd_fused_pallas
     from insider_tpu.kernels.fss_pallas import feature_sign_fused_pallas
 
-    wx = pre.wx
+    # kernels mask data in VMEM now: pass raw data where wx was expected
+    wx = arrays.data
 
     def fss_fused_body(beta):
         out = feature_sign_fused_pallas(
