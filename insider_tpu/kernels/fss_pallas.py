@@ -137,6 +137,10 @@ def _fss_compute(fscal_ref, xtx_ref, xty, beta0, out_ref,
         # back-substitution is O(K^2) — ~2x fewer VPU flops than the full
         # K^3 Gauss-Jordan this replaces, on the component PROFILE_r04
         # showed dominating the iteration (fss_solver_convergence_work).
+        # (A sublane-aligned column-restricted variant — updating only
+        # [8*(k//8):] columns, ~K^3/4 flops — measured 3x SLOWER on v5e:
+        # the varying slice shapes defeat Mosaic's lowering.  Uniform
+        # full-width ops win despite doing 2x the arithmetic.)
         for k in range(K):
             piv = u_s[k, k:k + 1, :]                   # (1, BM)
             inv = 1.0 / piv

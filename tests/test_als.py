@@ -121,3 +121,40 @@ def test_convergence_stops_before_max_iter():
     cfg = dataclasses.replace(cfg, max_iter=2000, global_tol=1e-7)
     res = als.optimize(problem, cfg, verbose=False)
     assert res.n_iter < 2000
+
+
+def test_boundary_chain_matches_single_boundary_dispatch():
+    """The on-device boundary chain (boundaries_per_dispatch > 1) must run
+    the IDENTICAL protocol as one-boundary-per-dispatch: same per-boundary
+    losses/RMSEs, same decay ladder decisions, same stop iteration."""
+    import insider_tpu as it
+    from insider_tpu.config import FitConfig
+    from insider_tpu.train import als
+
+    sim = it.simulate_insider_data(v1_num=8, v2_num=3, gene_num=60,
+                                   latent_dim=3, seed=3)
+    split = it.ratio_splitter(sim.data.astype(np.float64), ratio=0.1)
+    problem = als.build_problem(split.data, sim.confounder,
+                                split.train_indicator, split.test_indicator,
+                                masked=True)
+
+    def run(bpd):
+        cfg = FitConfig(latent_dim=3, lambda1=2.0, lambda2=2.0, alpha=0.4,
+                        masked=True, max_iter=70, global_tol=1e-9,
+                        boundaries_per_dispatch=bpd, seed=0)
+        return als.optimize(problem, cfg, verbose=False)
+
+    a = run(1)
+    b = run(5)
+    assert len(a.history) == len(b.history)
+    assert a.converged == b.converged and a.n_iter == b.n_iter
+    for ra, rb in zip(a.history, b.history):
+        assert ra["iter"] == rb["iter"]
+        # identical device programs per iteration; the only difference is
+        # where the ladder/stop arithmetic runs (host f64 vs device ds
+        # pairs), which agrees except exactly ON a rung edge
+        np.testing.assert_allclose(ra["loss"], rb["loss"], rtol=1e-9)
+        np.testing.assert_allclose(ra["train_rmse"], rb["train_rmse"],
+                                   rtol=1e-7)
+    np.testing.assert_allclose(a.column_factor, b.column_factor, rtol=1e-5,
+                               atol=1e-7)

@@ -51,10 +51,41 @@ def test_optimize_aborts_on_nonfinite_init():
 
 
 def test_optimize_aborts_within_one_boundary(monkeypatch):
-    """Poison the loss mid-run: the driver must stop at the next boundary."""
+    """Poison the factors mid-run: the ON-DEVICE boundary chain must detect
+    the non-finite loss at its first boundary, stop chaining, and the host
+    must abort without launching another dispatch."""
     _, problem = _problem()
     cfg = FitConfig(latent_dim=3, lambda1=1.0, lambda2=1.0, alpha=0.4,
                     masked=True, max_iter=500, check_every=10)
+
+    calls = {"n": 0}
+    orig = als._run_boundary_chain
+
+    def sabotage(arrays, statics, step_statics, hypers, state, sub_tol,
+                 decay, pre_pair, chain):
+        calls["n"] += 1
+        if calls["n"] == 1:   # first chained dispatch: blow up the factors
+            state = _poison(state)
+        return orig(arrays, statics, step_statics, hypers, state, sub_tol,
+                    decay, pre_pair, chain)
+
+    monkeypatch.setattr(als, "_run_boundary_chain", sabotage)
+    res = als.optimize(problem, cfg, verbose=False)
+    assert res.diverged
+    # the chain ran AT MOST one boundary past the poison, not the full
+    # boundaries_per_dispatch budget, and no second dispatch launched
+    assert res.n_iter <= 2 * cfg.check_every
+    assert calls["n"] == 1
+    assert not np.isfinite(res.history[-1]["loss"])
+
+
+def test_optimize_aborts_within_one_boundary_unchained(monkeypatch):
+    """Same abort contract on the single-boundary path
+    (boundaries_per_dispatch=1, the round-4 behavior)."""
+    _, problem = _problem()
+    cfg = FitConfig(latent_dim=3, lambda1=1.0, lambda2=1.0, alpha=0.4,
+                    masked=True, max_iter=500, check_every=10,
+                    boundaries_per_dispatch=1)
 
     calls = {"n": 0}
     orig = als._run_steps_eval
