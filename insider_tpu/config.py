@@ -53,6 +53,15 @@ class FitConfig:
     # same sweep loop (ops/col_update.elastic_net_cd), so this single cap
     # bounds it too — there is deliberately no separate kkt-rounds knob.
     max_cd_sweeps: int = 200
+    # col_solver="cd" warm start: solve the sign pattern exactly with one
+    # FSS pass first, then run plain CD sweeps from that point until the
+    # reference's stopping criterion (per-column sweep decrease <= tol,
+    # coordinate_descent.cpp:112-114) fires.  Same unique optimum, same
+    # stopping contract, ~10x fewer sweeps than cold CD (measured: the
+    # MEDIAN flagship column needs >200 cold sweeps — linear convergence
+    # on these grams — vs a handful from the FSS point).  False = the pure
+    # reference trajectory (cold strong-rule CD).
+    cd_warm_start: bool = True
     # Continuous-covariate CD stop: sum|delta w| < ctns_tol
     # (src/optimize.cpp:122) with a sweep cap for jit safety.
     ctns_tol: float = 1e-1

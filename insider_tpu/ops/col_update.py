@@ -312,6 +312,7 @@ def update_columns_masked(
     max_fss_outer: int = 48,
     fss_polish: bool = True,
     max_fss_polish_sweeps: int = 32,
+    cd_warm_start: bool = True,
 ):
     """Masked (tuning==1) column update, src/optimize.cpp:203-230.
 
@@ -398,6 +399,21 @@ def update_columns_masked(
                                        max_sweeps=max_fss_polish_sweeps,
                                        use_strong_rule=False)
         return F, key, outers
+    if solver == "cd" and cd_warm_start and not alpha_is_zero:
+        # FSS-warm-started CD (FitConfig.cd_warm_start): solve the sign
+        # pattern exactly with FSS, then plain-CD sweeps (the fused polish,
+        # all coordinates active, no screening needed — the exact solve
+        # already satisfies the strong rule's purpose) until the
+        # reference's per-column stopping criterion fires at `tol`
+        # (coordinate_descent.cpp:112-114).  Same unique optimum and the
+        # same stopping contract as cold CD; the MEDIAN flagship column
+        # needs >200 cold sweeps (linear rate) vs a handful from here.
+        return update_columns_masked(
+            data, mask, R, F_prev, lam, alpha, tol, key,
+            max_sweeps=max_sweeps, alpha_is_zero=alpha_is_zero,
+            use_pallas=use_pallas, masked_data=masked_data, mesh=mesh,
+            solver="fss", max_fss_outer=max_fss_outer, fss_polish=True,
+            max_fss_polish_sweeps=max_sweeps)
     if use_pallas:
         # Sublane-packed CD kernels (kernels/cd_packed.py): identical
         # iteration to cd_pallas.py with the column axis laid out as
@@ -480,10 +496,18 @@ def update_columns_dense(
     max_fss_outer: int = 48,
     fss_polish: bool = True,
     max_fss_polish_sweeps: int = 32,
+    cd_warm_start: bool = True,
 ):
     """Dense (tuning==0) column update, src/optimize.cpp:232-247."""
     if alpha_is_zero is None:
         alpha_is_zero = alpha == 0.0
+    if solver == "cd" and cd_warm_start and not alpha_is_zero:
+        # FSS-warm-started CD — see update_columns_masked.
+        return update_columns_dense(
+            data, R, F_prev, lam, alpha, tol, key, max_sweeps=max_sweeps,
+            alpha_is_zero=alpha_is_zero, use_pallas=use_pallas,
+            solver="fss", max_fss_outer=max_fss_outer, fss_polish=True,
+            max_fss_polish_sweeps=max_sweeps)
     K = R.shape[1]
     XtX = jnp.matmul(R.T, R, precision=HIGHEST)         # (K, K) shared
     Xty = jnp.matmul(R.T, data, precision=HIGHEST)      # (K, M)

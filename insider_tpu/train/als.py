@@ -108,6 +108,8 @@ class StepStatics:
     # Plain-CD polish after FSS (see FitConfig.fss_polish).
     fss_polish: bool = True
     max_fss_polish_sweeps: int = 32
+    # FSS-warm-started CD (FitConfig.cd_warm_start).
+    cd_warm_start: bool = True
 
     @classmethod
     def from_config(cls, config: FitConfig):
@@ -133,6 +135,7 @@ class StepStatics:
             max_fss_outer=config.max_fss_outer,
             fss_polish=config.fss_polish,
             max_fss_polish_sweeps=config.max_fss_polish_sweeps,
+            cd_warm_start=config.cd_warm_start,
         )
 
 
@@ -639,6 +642,7 @@ def _als_iteration(arrays: ProblemArrays, statics: ProblemStatics,
             max_fss_outer=step_statics.max_fss_outer,
             fss_polish=step_statics.fss_polish,
             max_fss_polish_sweeps=step_statics.max_fss_polish_sweeps,
+            cd_warm_start=step_statics.cd_warm_start,
         )
     else:
         F_new, key, _ = col_update.update_columns_dense(
@@ -650,6 +654,7 @@ def _als_iteration(arrays: ProblemArrays, statics: ProblemStatics,
             max_fss_outer=step_statics.max_fss_outer,
             fss_polish=step_statics.fss_polish,
             max_fss_polish_sweeps=step_statics.max_fss_polish_sweeps,
+            cd_warm_start=step_statics.cd_warm_start,
         )
     if step_statics.debug_checks:
         _debug_check_finite("column update F (optimize_col)", F_new)

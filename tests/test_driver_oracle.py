@@ -85,7 +85,8 @@ def test_masked_driver_matches_f64_oracle_cd():
     problem = obj.tuning_problem()
     cfg = FitConfig(latent_dim=3, lambda1=2.0, lambda2=2.0, alpha=0.4,
                     masked=True, max_iter=50, global_tol=0.0,
-                    col_solver="cd", use_pallas=False)
+                    col_solver="cd", cd_warm_start=False,
+                    use_pallas=False)
     state = _initial_state(problem, cfg)
     oracle = _run_oracle(problem, cfg, state)
     res = als.optimize(problem, cfg, state=_initial_state(problem, cfg),
@@ -130,7 +131,8 @@ def test_dense_driver_matches_f64_oracle():
     obj = _small_problem(with_ctns=False)
     cfg = FitConfig(latent_dim=3, lambda1=2.0, lambda2=2.0, alpha=0.4,
                     masked=False, max_iter=40, global_tol=0.0,
-                    col_solver="cd", use_pallas=False)
+                    col_solver="cd", cd_warm_start=False,
+                    use_pallas=False)
     # fit()'s partition=0 semantics: train+test as the train mask, na as test
     indicator = obj.train_indicator + obj.test_indicator
     problem = als.build_problem(obj.data, obj.confounder, indicator,
@@ -157,9 +159,36 @@ def test_masked_ridge_driver_matches_f64_oracle():
     problem = obj.tuning_problem()
     cfg = FitConfig(latent_dim=3, lambda1=2.0, lambda2=2.0, alpha=0.0,
                     masked=True, max_iter=30, global_tol=0.0,
-                    col_solver="cd", use_pallas=False)
+                    col_solver="cd", cd_warm_start=False,
+                    use_pallas=False)
     state = _initial_state(problem, cfg)
     oracle = _run_oracle(problem, cfg, state)
     res = als.optimize(problem, cfg, state=_initial_state(problem, cfg),
                        verbose=False)
     _compare(res.history, oracle["history"], rtol=5e-6)
+
+
+def test_masked_driver_warm_cd_not_worse_than_oracle():
+    """col_solver="cd" with the default FSS warm start (FitConfig.
+    cd_warm_start) solves each subproblem at least as tightly as the
+    reference's cold CD, so its boundary losses must never be WORSE than
+    the f64 oracle's (same pin as the fss test; the exact-trajectory pin
+    runs under cd_warm_start=False above)."""
+    obj = _small_problem(with_ctns=False)
+    problem = obj.tuning_problem()
+    cfg = FitConfig(latent_dim=3, lambda1=2.0, lambda2=2.0, alpha=0.4,
+                    masked=True, max_iter=50, global_tol=0.0,
+                    col_solver="cd", use_pallas=False)
+    state = _initial_state(problem, cfg)
+    oracle = _run_oracle(problem, cfg, state)
+    res = als.optimize(problem, cfg, state=_initial_state(problem, cfg),
+                       verbose=False)
+    o_by_iter = {h["iter"]: h for h in oracle["history"]}
+    checked = 0
+    for h in res.history:
+        o = o_by_iter.get(h["iter"])
+        if o is None or h["iter"] < 0:
+            continue
+        assert h["loss"] <= o["loss"] * (1 + 2e-5), h["iter"]
+        checked += 1
+    assert checked >= 4

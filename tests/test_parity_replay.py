@@ -56,6 +56,7 @@ def fits(problem):
         cfg = FitConfig(latent_dim=K, lambda1=LAMBDA, lambda2=LAMBDA,
                         alpha=ALPHA, masked=True, global_tol=FIRES_TOL,
                         sub_tol=1e-5, max_iter=6500, col_solver=solver,
+                        cd_warm_start=False,
                         seed=0)
         out[solver] = als.optimize(problem, cfg, verbose=False)
     return out

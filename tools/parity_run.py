@@ -146,7 +146,10 @@ def main():
         cfg = FitConfig(latent_dim=K, lambda1=LAMBDA, lambda2=LAMBDA,
                         alpha=ALPHA, masked=True, global_tol=global_tol,
                         sub_tol=SUB_TOL, max_iter=max_iter,
-                        col_solver=solver, seed=0)
+                        col_solver=solver, seed=0,
+                        # parity pins the reference ALGORITHM's trajectory:
+                        # run cd cold (no FSS warm start)
+                        cd_warm_start=False)
         with open(jsonl_path, "a") as fh:
             fh.write(json.dumps({"run": tag, "solver": solver,
                                  "config": dataclasses.asdict(cfg)}) + "\n")
