@@ -187,6 +187,7 @@ def main():
     dt_full, nz_full = device_time(
         lambda st: als._als_iteration(arrays, statics, ss, hy, st, sub_tol),
         state, n_lo=4, n_hi=44)
+    # cd here = the production FSS-warm-started mode (FitConfig.cd_warm_start)
     state_cd = init_state(jax.random.PRNGKey(0), problem.n_levels, N_COLS, K)
     state_cd = als._run_steps(arrays, statics, ss_cd, hy, state_cd, sub_tol,
                               jnp.int32(12))
@@ -210,7 +211,7 @@ def main():
                                                + jnp.sum(R2)))
         return InsiderState(st.cfd_factors, st.ctns_factor, F, st.key)
 
-    dt_m, nz = device_time(misc_body, state, n_lo=8, n_hi=88)
+    dt_m, nz = device_time(misc_body, state, n_lo=8, n_hi=248)
     acc += row("fgram+rowfactor_x2", dt_m, nz,
                2 * (N_ROWS * K + K * N_COLS) * 4e-9,
                2e-9 * K * K * N_COLS * 6)
@@ -227,16 +228,10 @@ def main():
                (L_TOT + K) * N_COLS * 4e-9,
                2e-9 * L_TOT * K * K * N_COLS * 6)
 
-    # --- [3] D @ F^T assembly (per-iteration constant contraction) ---
+    # (the r4 table also measured the standalone D@F^T contraction; it is
+    # NOT a driver component — the row_xty kernel consumes D directly —
+    # and counting it inflated the accounted sum.  Removed in r5.)
     d_cat0 = jnp.concatenate([pre.d[v] for v in range(len(LEVELS))], 0)
-
-    def df_body(d_cat):
-        df = jnp.matmul(d_cat, F0.T, precision=HI)
-        return d_cat * (1.0 + 1e-24 * jnp.sum(df))
-
-    dt_df, nz = device_time(df_body, d_cat0, n_lo=8, n_hi=88)
-    acc += row("dcat@F^T", dt_df, nz, L_TOT * N_COLS * 4e-9,
-               2e-9 * L_TOT * N_COLS * K * 6)
 
     # --- [4] row Xty kernels (4 confounders, the real kernel path) ---
     def xty_body(R):
@@ -271,7 +266,7 @@ def main():
         s = sum(jnp.sum(o) for o in outs)
         return xty_cat * (1.0 + 1e-24 * s)
 
-    dt_gj, nz = device_time(gj_body, xty_cat0, n_lo=8, n_hi=88)
+    dt_gj, nz = device_time(gj_body, xty_cat0, n_lo=8, n_hi=288)
     acc += row("ridge_gj_solve_x4", dt_gj, nz, 0.0, 0.0)
 
     # --- [6] gram-fused FSS column kernel (the real driver call) ---
@@ -282,9 +277,11 @@ def main():
     wx = arrays.data
 
     def fss_fused_body(beta):
+        # the real dispatch: block=512 (ops/col_update.py), raw data
+        # (mask applied in VMEM)
         out = feature_sign_fused_pallas(
             mask, wx, R0, beta, LAMBDA, ALPHA, ss.max_fss_outer,
-            polish_sweeps=ss.max_fss_polish_sweeps, tol=sub_tol)
+            block=512, polish_sweeps=ss.max_fss_polish_sweeps, tol=sub_tol)
         return 0.5 * beta + 0.5 * out
 
     dt_cf, nz = device_time(fss_fused_body, F0, n_lo=4, n_hi=24)
@@ -305,7 +302,7 @@ def main():
 
     # --- streamed solver kernels (reference points, not in accounted sum) ---
     XtXt = col_update.col_gram_masked_t(R0, mask)
-    Xty0 = jnp.matmul(R0.T, wx, precision=HI)
+    Xty0 = jnp.matmul(R0.T, mask * arrays.data, precision=HI)
     from insider_tpu.kernels.cd_pallas import elastic_net_cd_pallas
     from insider_tpu.kernels.fss_pallas import feature_sign_pallas
 
@@ -355,15 +352,26 @@ def main():
     acc += solver_extra
 
     # --- evaluate (amortized /check_every in the driver) ---
+    # the driver path is the fused eval kernel (kernels/eval_pallas.py);
+    # the jnp form is kept as a reference point (not in the accounted sum)
     def ev_body(st):
+        ev, reg = als._evaluate_impl(arrays, statics, st, ss)
+        F = st.column_factor * (1.0 + 1e-24 * ev.train_sse[0])
+        return InsiderState(st.cfd_factors, st.ctns_factor, F, st.key)
+
+    dt_ev, nz = device_time(ev_body, state, n_lo=8, n_hi=168)
+    row("evaluate_kernel(per-call)", dt_ev, nz, (6 * NM + 4 * K * N_COLS) * 1e-9,
+        2e-9 * N_ROWS * N_COLS * K * 6)
+    acc += max(dt_ev, 0.0) / 10.0
+
+    def ev_jnp_body(st):
         ev, reg = als._evaluate_impl(arrays, statics, st)
         F = st.column_factor * (1.0 + 1e-24 * ev.train_sse[0])
         return InsiderState(st.cfd_factors, st.ctns_factor, F, st.key)
 
-    dt_ev, nz = device_time(ev_body, state, n_lo=8, n_hi=48)
-    row("evaluate(per-call)", dt_ev, nz, 3 * NM * 4e-9,
+    dt_evj, nz = device_time(ev_jnp_body, state, n_lo=8, n_hi=88)
+    row("evaluate_jnp(reference)", dt_evj, nz, 5 * NM * 4e-9,
         2e-9 * N_ROWS * N_COLS * K * 6)
-    acc += max(dt_ev, 0.0) / 10.0
 
     out = {
         "device": str(jax.devices()[0]),
