@@ -76,3 +76,27 @@ def test_feasibility_gate():
     # a level count whose (L, K^2) gram output cannot fit VMEM must still
     # report infeasible, not crash at compile time (ADVICE r3)
     assert not row_kernels_feasible(377, [5000], 24)
+
+
+@pytest.mark.parametrize("shape", [(60, 300, 5, 6), (377, 1111, 16, 24),
+                                   (700, 257, 33, 12)])
+def test_chunked_matches_single_shot(shape):
+    """row_xty_chunked_pallas (the large-N variant) == row_xty_pallas,
+    including ragged row chunks, column tails, and uint8 masks."""
+    from insider_tpu.kernels.row_pallas import (row_xty_chunked_pallas,
+                                                row_xty_pallas)
+
+    N, M, L, K = shape
+    rng = np.random.default_rng(N)
+    codes = rng.integers(0, L, N)
+    E = jnp.asarray(np.eye(L, dtype=np.float32)[codes])
+    R = jnp.asarray(rng.standard_normal((N, K)), jnp.float32) * 0.3
+    mask = jnp.asarray(rng.random((N, M)) < 0.9, jnp.float32)
+    data = jnp.asarray(rng.standard_normal((N, M)), jnp.float32)
+    F = jnp.asarray(rng.standard_normal((K, M)), jnp.float32) * 0.3
+    D = jnp.matmul(E.T, mask * data)
+    a = row_xty_pallas(E, R, mask, D, F, interpret=True)
+    b = row_xty_chunked_pallas(E, R, mask.astype(jnp.uint8), D, F,
+                               interpret=True)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               atol=2e-4 * float(jnp.max(jnp.abs(a)) + 1))
