@@ -195,28 +195,40 @@ def run_solver(problem, solver: str):
 
     # --- fit-regime figure (ADVICE r2): the regime a real fit lives in —
     # decay <= 0.1 (tighter inner solves) INCLUDING the every-10-iter eval
-    # boundary and its host round-trip (src/optimize.cpp:381-408 cadence),
-    # timed over whole _run_steps_eval chunks + host finalize.  The primary
-    # number above is the kernel steady state at the settled decay. ---
+    # boundary, measured through the REAL driver path: the on-device
+    # boundary chain (round 5 — the ladder/stop run between boundaries
+    # without a host round-trip; one metrics transfer per
+    # boundaries_per_dispatch boundaries).  The primary number above is
+    # the kernel steady state at the settled decay. ---
     fit_decay = min(decay, 0.1)
-    sub_tol_fit = jnp.float32(config.sub_tol * fit_decay)
-    n_bound, n_per = 6, config.check_every
+    n_per = config.check_every
+    bpd = config.boundaries_per_dispatch
+    n_disp = 2
 
-    def boundary(st):
-        st, metrics = als._run_steps_eval(arrays, statics, ss, hy, st,
-                                          sub_tol_fit, jnp.int32(n_per))
-        m = losses.finalize_metrics_vec(resilience.fetch(metrics), LAMBDA,
-                                        LAMBDA, ALPHA, True)
-        return st, m
+    def dispatch(st, cur_loss):
+        pre_pair = jnp.asarray(
+            [np.float32(cur_loss),
+             np.float32(cur_loss - np.float64(np.float32(cur_loss)))],
+            jnp.float32)
+        st, mbuf, flags = als._run_boundary_chain(
+            arrays, statics, ss, hy, st, jnp.float32(config.sub_tol),
+            jnp.float32(fit_decay), pre_pair,
+            (bpd, n_per, 0.0))
+        mb = resilience.fetch(mbuf)
+        m = losses.finalize_metrics_vec(mb[-1, :12], LAMBDA, LAMBDA, ALPHA,
+                                        True)
+        return st, m["loss"]
 
-    state, _ = boundary(state)          # warm/compile at this decay
+    cur = loss_of(state)
+    state, cur = dispatch(state, cur)   # warm/compile at this decay
     t0 = time.perf_counter()
-    for _ in range(n_bound):
-        state, _ = boundary(state)
-    fit_dt = (time.perf_counter() - t0) / (n_bound * n_per)
+    for _ in range(n_disp):
+        state, cur = dispatch(state, cur)
+    fit_dt = (time.perf_counter() - t0) / (n_disp * bpd * n_per)
     return dt, {"warm_iters": chunks * 10, "decay": decay,
                 "fit_regime_sec_per_iter": fit_dt,
-                "fit_regime_decay": fit_decay}
+                "fit_regime_decay": fit_decay,
+                "fit_regime_boundaries_per_dispatch": bpd}
 
 
 def main():

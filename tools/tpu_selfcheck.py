@@ -445,6 +445,54 @@ def _run(args):
     }
     ok_all &= shared_ok
 
+    # ---------- check 8 (r5): fused evaluation kernel vs f64 host ---------
+    # kernels/eval_pallas.py is the driver's evaluation path: compensated
+    # masked SSE with no (N, M) transients.  Audit against float64 numpy.
+    from insider_tpu.kernels.eval_pallas import masked_eval_pallas
+
+    test_mask_np = np.asarray(problem.arrays.test_mask, np.float32)
+    tr_p, te_p, nt_p, ne_p = jax.block_until_ready(masked_eval_pallas(
+        jnp.asarray(data), maskj, jnp.asarray(test_mask_np), Rj,
+        jnp.asarray(F_prev)))
+    res64 = data.astype(np.float64) - (R.astype(np.float64)
+                                       @ F_prev.astype(np.float64))
+    want_tr = float(((res64 * mask.astype(np.float64)) ** 2).sum())
+    want_te = float(((res64 * test_mask_np.astype(np.float64)) ** 2).sum())
+    got_tr = float(tr_p[0]) + float(tr_p[1])
+    got_te = float(te_p[0]) + float(te_p[1])
+    ev_err = max(abs(got_tr - want_tr) / want_tr,
+                 abs(got_te - want_te) / max(want_te, 1.0))
+    counts_exact = (float(nt_p) == float(mask.sum())
+                    and float(ne_p) == float(test_mask_np.sum()))
+    # the f32 MXU predict bounds the error, not the compensated sums
+    ev_ok = ev_err < 5e-6 and counts_exact
+    report["checks"]["eval_kernel_vs_f64_host"] = {
+        "max_rel_sse_err": float(ev_err), "counts_exact": bool(counts_exact),
+        "pass": bool(ev_ok),
+    }
+    ok_all &= ev_ok
+
+    # ---------- check 9 (r5): streamed gram+xty builder, bitwise ----------
+    # kernels/gram_pallas.py must reproduce the jnp EXACT01 gram matmul
+    # bit for bit (same bf16-plane construction) and the HIGHEST Xty to
+    # chunk-accumulation rounding.
+    from insider_tpu.kernels.gram_pallas import col_gram_xty_pallas
+
+    g_k, xty_k = jax.block_until_ready(
+        col_gram_xty_pallas(maskj, jnp.asarray(data), Rj))
+    g_ref = jax.block_until_ready(col_update.col_gram_masked_t(Rj, maskj))
+    gram_bit = float(jnp.max(jnp.abs(g_k - g_ref)))
+    xty_ref = jnp.matmul(Rj.T, maskj * jnp.asarray(data),
+                         precision=jax.lax.Precision.HIGHEST)
+    xty_scale2 = float(jnp.max(jnp.abs(xty_ref)))
+    xty_gap = float(jnp.max(jnp.abs(xty_k - xty_ref))) / xty_scale2
+    gram_xty_ok = gram_bit == 0.0 and xty_gap < 2e-6
+    report["checks"]["streamed_gram_xty_builder"] = {
+        "gram_max_abs_diff_bitwise": gram_bit,
+        "xty_max_rel_gap": xty_gap, "pass": bool(gram_xty_ok),
+    }
+    ok_all &= gram_xty_ok
+
     report["pass"] = bool(ok_all)
     out = json.dumps(report, indent=2)
     print(out)
