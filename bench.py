@@ -48,7 +48,10 @@ BASELINE_FILE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
 N_ROWS, N_COLS, K = 377, 44477, 24
 LEVELS = (2, 16, 8, 107)
 LAMBDA, ALPHA = 11.0, 0.4
-TIMED_ITERS = 30
+# 200 iters per timed dispatch: the tunnel's ~30 ms dispatch+fetch
+# round-trip amortizes to ~0.15 ms/iter (at 30 iters it added ~1 ms/iter
+# of pure transport latency to the reported steady state).
+TIMED_ITERS = 200
 MAX_WARM_CHUNKS = 20          # x check_every iterations
 WARM_REL_DELTA = 1e-7
 
