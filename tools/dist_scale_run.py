@@ -35,7 +35,9 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
-N_ROWS, N_COLS, K = 2048, 8192, 8
+N_ROWS = int(os.environ.get("DIST_SCALE_ROWS", 2048))
+N_COLS = int(os.environ.get("DIST_SCALE_COLS", 8192))
+K = 8
 LEVELS = (4, 8)
 LAMBDA, ALPHA = 3.0, 0.4
 RATIO, SEED = 0.1, 77
