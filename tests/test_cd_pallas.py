@@ -131,10 +131,13 @@ def test_update_columns_pallas_dispatch_matches_jnp_optimum():
     try:
         cdpk.elastic_net_cd_packed_pallas = interp
         cdpk.elastic_net_cd_fused_packed_pallas = interp_fused
+        # cd_warm_start=False: this test exercises the packed CD kernel
+        # dispatch specifically (the warm default routes through FSS)
         Fp, _, tag = col_update.update_columns_masked(
             jnp.asarray(data), jnp.asarray(mask), jnp.asarray(R),
             jnp.asarray(F0), lam, alpha, jnp.float32(1e-9),
             jax.random.PRNGKey(7), max_sweeps=60, use_pallas=True,
+            cd_warm_start=False,
         )
     finally:
         cdpk.elastic_net_cd_packed_pallas = orig

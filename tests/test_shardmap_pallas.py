@@ -43,8 +43,11 @@ def test_shardmap_cd_matches_unsharded(interp_kernel):
     F0 = (rng.standard_normal((k, m)) * 0.01).astype(np.float32)
     mesh = make_mesh(ShardingConfig(rows=2, cols=4))
 
+    # cd_warm_start=False: this test exercises the packed CD kernels
+    # under shard_map (the warm default routes through FSS)
     kwargs = dict(lam=1.0, alpha=0.5, tol=jnp.float32(1e-9),
-                  key=jax.random.PRNGKey(5), max_sweeps=40, use_pallas=True)
+                  key=jax.random.PRNGKey(5), max_sweeps=40, use_pallas=True,
+                  cd_warm_start=False)
     Fa, _, _ = col_update.update_columns_masked(
         jnp.asarray(data), jnp.asarray(mask), jnp.asarray(R),
         jnp.asarray(F0), **kwargs)
